@@ -1,0 +1,191 @@
+"""Per-Gaussian screen-space preprocess (projection, EWA cov2D, tile rects).
+
+TPU-first re-design of the CUDA `preprocessCUDA` stage
+(`cuda_rasterizer/forward.cu:156-256`): instead of one thread per Gaussian
+with early-outs, everything is a single fused vectorized map over N Gaussians
+with validity masks — XLA fuses the whole stage into a handful of VPU loops.
+
+Reproduced algorithmic facts (SURVEY.md §2.2):
+  * near-cull at view-space z <= 0.2            (`auxiliary.h:139-160`)
+  * perspective divide with eps 1e-7            (`forward.cu:198-200`)
+  * EWA J·W·Σ·Wᵀ·Jᵀ with t.x/t.y clamped to ±1.3·tanfov (`forward.cu:74-112`)
+  * +0.3 low-pass on the cov2D diagonal         (`forward.cu:110-111`)
+  * radius = ceil(3·sqrt(max eigenvalue))       (`forward.cu:229-232`)
+  * tile rect via getRect                       (`auxiliary.h:46-57`)
+  * ndc2Pix(v, S) = ((v+1)·S − 1)/2             (`auxiliary.h:41-44`)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from seganygaussians_tpu.ops.camera import CameraParams
+from seganygaussians_tpu.ops.transforms import build_covariance_3d
+
+
+class Preprocessed(NamedTuple):
+    """Per-Gaussian screen-space quantities (all shaped (N, ...))."""
+
+    means2d: jnp.ndarray  # (N, 2) pixel coordinates
+    depths: jnp.ndarray  # (N,) view-space z
+    conics: jnp.ndarray  # (N, 3) inverse 2D covariance (a, b, c)
+    radii: jnp.ndarray  # (N,) int32 screen-space radius (0 ⇒ culled)
+    rect_min: jnp.ndarray  # (N, 2) int32 tile rect (x, y) inclusive-min
+    rect_max: jnp.ndarray  # (N, 2) int32 tile rect exclusive-max
+    tiles_touched: jnp.ndarray  # (N,) int32
+    valid: jnp.ndarray  # (N,) bool
+
+
+def project_points(
+    means3d: jnp.ndarray, camera: CameraParams
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Project to NDC and view space (row-vector convention).
+
+    Returns (p_proj (N,3) NDC, p_view (N,3) view-space).
+    """
+    ones = jnp.ones_like(means3d[..., :1])
+    hom = jnp.concatenate([means3d, ones], axis=-1)
+    # Positions need full fp32: force highest matmul precision (TPU MXU
+    # otherwise rounds inputs to bf16).
+    p_hom = jnp.matmul(hom, camera.full_proj, precision="highest")
+    p_w = 1.0 / (p_hom[..., 3:4] + 1e-7)
+    p_proj = p_hom[..., :3] * p_w
+    p_view = jnp.matmul(hom, camera.world_view, precision="highest")
+    return p_proj, p_view[..., :3]
+
+
+def compute_cov2d(
+    p_view: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    camera: CameraParams,
+) -> jnp.ndarray:
+    """EWA splatting 2D covariance (packed (N,3): xx, xy, yy).
+
+    Σ' = J W Σ Wᵀ Jᵀ with the FoV clamp and +0.3 low-pass of
+    `forward.cu:74-112`.  W is the rotation block of the world→view
+    transform; with our row-vector convention that block is
+    ``camera.world_view[:3, :3]`` acting as ``t = p @ W``, i.e. the
+    column-vector rotation is ``W.T``.
+    """
+    fx, fy = camera.focal_x, camera.focal_y
+    tx, ty, tz = p_view[..., 0], p_view[..., 1], p_view[..., 2]
+    limx = 1.3 * camera.tan_fovx
+    limy = 1.3 * camera.tan_fovy
+    tz_safe = jnp.where(tz == 0.0, 1e-6, tz)
+    tx = jnp.clip(tx / tz_safe, -limx, limx) * tz
+    ty = jnp.clip(ty / tz_safe, -limy, limy) * tz
+    inv_z = 1.0 / tz_safe
+    inv_z2 = inv_z * inv_z
+
+    # J: 2x3 Jacobian of the perspective projection at (tx, ty, tz).
+    j00 = fx * inv_z
+    j02 = -fx * tx * inv_z2
+    j11 = fy * inv_z
+    j12 = -fy * ty * inv_z2
+
+    # Column-vector rotation world→view: R = world_view[:3,:3].T
+    R = camera.world_view[:3, :3].T  # (3,3)
+
+    # M = J @ R : (N, 2, 3)
+    m0 = j00[..., None] * R[0] + j02[..., None] * R[2]  # (N,3)
+    m1 = j11[..., None] * R[1] + j12[..., None] * R[2]  # (N,3)
+
+    # Σ (N,3,3) from packed cov3d.
+    xx, xy, xz, yy, yz, zz = (cov3d[..., i] for i in range(6))
+
+    def sym_mul(m):  # Σ @ m for row vector m (N,3) → (N,3)
+        return jnp.stack(
+            [
+                xx * m[..., 0] + xy * m[..., 1] + xz * m[..., 2],
+                xy * m[..., 0] + yy * m[..., 1] + yz * m[..., 2],
+                xz * m[..., 0] + yz * m[..., 1] + zz * m[..., 2],
+            ],
+            axis=-1,
+        )
+
+    s_m0 = sym_mul(m0)
+    s_m1 = sym_mul(m1)
+    c_xx = jnp.sum(m0 * s_m0, axis=-1) + 0.3
+    c_xy = jnp.sum(m0 * s_m1, axis=-1)
+    c_yy = jnp.sum(m1 * s_m1, axis=-1) + 0.3
+    return jnp.stack([c_xx, c_xy, c_yy], axis=-1)
+
+
+def ndc2pix(v: jnp.ndarray, size: int) -> jnp.ndarray:
+    return ((v + 1.0) * size - 1.0) * 0.5
+
+
+def preprocess(
+    means3d: jnp.ndarray,
+    camera: CameraParams,
+    scales: Optional[jnp.ndarray] = None,
+    rotations: Optional[jnp.ndarray] = None,
+    cov3d_precomp: Optional[jnp.ndarray] = None,
+    scale_modifier: float = 1.0,
+    tile_size: int = 16,
+) -> Preprocessed:
+    """Vectorized projection + culling + tile-rect stage."""
+    if cov3d_precomp is None:
+        assert scales is not None and rotations is not None
+        cov3d = build_covariance_3d(scales, rotations, scale_modifier)
+    else:
+        cov3d = cov3d_precomp
+
+    p_proj, p_view = project_points(means3d, camera)
+    depths = p_view[..., 2]
+    in_front = depths > 0.2  # near-cull (`auxiliary.h:157`)
+
+    cov2d = compute_cov2d(p_view, cov3d, camera)
+    det = cov2d[..., 0] * cov2d[..., 2] - cov2d[..., 1] * cov2d[..., 1]
+    det_valid = det != 0.0
+    det_inv = 1.0 / jnp.where(det_valid, det, 1.0)
+    conics = jnp.stack(
+        [cov2d[..., 2] * det_inv, -cov2d[..., 1] * det_inv, cov2d[..., 0] * det_inv],
+        axis=-1,
+    )
+
+    mid = 0.5 * (cov2d[..., 0] + cov2d[..., 2])
+    disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    lambda1 = mid + disc
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 1e-12)))
+
+    mx = ndc2pix(p_proj[..., 0], camera.width)
+    my = ndc2pix(p_proj[..., 1], camera.height)
+    means2d = jnp.stack([mx, my], axis=-1)
+
+    grid_x = (camera.width + tile_size - 1) // tile_size
+    grid_y = (camera.height + tile_size - 1) // tile_size
+
+    # getRect (`auxiliary.h:46-57`): note the min is computed with C float→int
+    # truncation of (p - r) / BLOCK, which rounds toward zero — emulate with a
+    # floor after clamping at 0 (negative operands clamp to 0 anyway).
+    rx0 = jnp.clip(jnp.floor((mx - radius_f) / tile_size).astype(jnp.int32), 0, grid_x)
+    ry0 = jnp.clip(jnp.floor((my - radius_f) / tile_size).astype(jnp.int32), 0, grid_y)
+    rx1 = jnp.clip(
+        jnp.floor((mx + radius_f + tile_size - 1) / tile_size).astype(jnp.int32),
+        0,
+        grid_x,
+    )
+    ry1 = jnp.clip(
+        jnp.floor((my + radius_f + tile_size - 1) / tile_size).astype(jnp.int32),
+        0,
+        grid_y,
+    )
+    num_tiles = (rx1 - rx0) * (ry1 - ry0)
+
+    valid = in_front & det_valid & (num_tiles > 0)
+    radii = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+    tiles_touched = jnp.where(valid, num_tiles, 0).astype(jnp.int32)
+
+    return Preprocessed(
+        means2d=means2d,
+        depths=depths,
+        conics=conics,
+        radii=radii,
+        rect_min=jnp.stack([rx0, ry0], axis=-1),
+        rect_max=jnp.stack([rx1, ry1], axis=-1),
+        tiles_touched=tiles_touched,
+        valid=valid,
+    )

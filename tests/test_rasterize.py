@@ -1,0 +1,236 @@
+"""End-to-end rasterizer tests against the literal NumPy oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from seganygaussians_tpu.ops.camera import make_camera
+from seganygaussians_tpu.ops.rasterize import RasterConfig, rasterize
+from tests.np_oracle import rasterize_reference
+
+
+def make_scene(rng, n=60, width=48, height=32, c=3, opa_max=0.95):
+    """Random Gaussians in front of a camera at the origin looking down +z."""
+    R = np.eye(3)
+    t = np.zeros(3)
+    camera = make_camera(R, t, fovx=1.2, fovy=0.9, width=width, height=height)
+    # Points spread through the frustum, z in [1, 6].
+    z = rng.uniform(1.0, 6.0, size=n)
+    x = rng.uniform(-0.9, 0.9, size=n) * z * np.tan(1.2 / 2)
+    y = rng.uniform(-0.9, 0.9, size=n) * z * np.tan(0.9 / 2)
+    means = np.stack([x, y, z], axis=1).astype(np.float32)
+    scales = (rng.uniform(0.03, 0.25, size=(n, 3))).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    opac = rng.uniform(0.2, opa_max, size=n).astype(np.float32)
+    colors = rng.uniform(size=(n, c)).astype(np.float32)
+    return camera, means, scales, quats, opac, colors
+
+
+@pytest.mark.parametrize("c", [3, 8])
+def test_forward_matches_numpy_oracle(rng, c):
+    camera, means, scales, quats, opac, colors = make_scene(rng, c=c)
+    bg = np.linspace(0.1, 0.9, c).astype(np.float32)
+
+    out = rasterize(
+        jnp.asarray(means),
+        jnp.asarray(opac),
+        camera,
+        colors=jnp.asarray(colors),
+        scales=jnp.asarray(scales),
+        rotations=jnp.asarray(quats),
+        bg=jnp.asarray(bg),
+        config=RasterConfig(capacity=1 << 14, backend="xla"),
+    )
+    assert not bool(out.overflow)
+
+    ref_img, ref_t, ref_n, ref_radii = rasterize_reference(
+        means.astype(np.float64),
+        opac.astype(np.float64),
+        colors.astype(np.float64),
+        scales.astype(np.float64),
+        quats.astype(np.float64),
+        np.asarray(camera.world_view, dtype=np.float64),
+        np.asarray(camera.full_proj, dtype=np.float64),
+        camera.width,
+        camera.height,
+        camera.tan_fovx,
+        camera.tan_fovy,
+        bg.astype(np.float64),
+    )
+
+    np.testing.assert_allclose(np.asarray(out.color), ref_img, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out.final_t), ref_t, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out.radii), ref_radii)
+    # n_contrib can differ by borderline alpha/termination ties; compare mostly.
+    mismatch = np.mean(np.asarray(out.n_contrib) != ref_n)
+    assert mismatch < 0.02
+
+
+def test_background_identity(rng):
+    """No Gaussians contributing ⇒ image equals the background."""
+    camera, means, scales, quats, opac, colors = make_scene(rng, n=4)
+    means = means + np.array([0.0, 0.0, 100.0], dtype=np.float32)  # push far behind
+    means[:, 2] = -5.0  # behind camera → culled
+    bg = jnp.asarray([0.2, 0.4, 0.6])
+    out = rasterize(
+        jnp.asarray(means),
+        jnp.asarray(opac),
+        camera,
+        colors=jnp.asarray(colors),
+        scales=jnp.asarray(scales),
+        rotations=jnp.asarray(quats),
+        bg=bg,
+        config=RasterConfig(capacity=1 << 10, backend="xla"),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.color), np.broadcast_to(np.asarray(bg), out.color.shape), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(out.final_t), 1.0, atol=1e-6)
+    assert (np.asarray(out.radii) == 0).all()
+
+
+def test_gaussian_order_permutation_invariance(rng):
+    """Rendering must not depend on input ordering (sort handles depth)."""
+    camera, means, scales, quats, opac, colors = make_scene(rng, n=40)
+    # Ensure distinct depths so the sort is unambiguous.
+    means[:, 2] = np.linspace(1.0, 6.0, 40)
+    perm = rng.permutation(40)
+
+    def render(m, s, q, o, c):
+        return rasterize(
+            jnp.asarray(m), jnp.asarray(o), camera,
+            colors=jnp.asarray(c), scales=jnp.asarray(s), rotations=jnp.asarray(q),
+            config=RasterConfig(capacity=1 << 13, backend="xla"),
+        ).color
+
+    a = render(means, scales, quats, opac, colors)
+    b = render(means[perm], scales[perm], quats[perm], opac[perm], colors[perm])
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_depth_and_extra_channels(rng):
+    camera, means, scales, quats, opac, colors = make_scene(rng, n=30)
+    mask_vals = rng.uniform(size=(30, 1)).astype(np.float32)
+    out = rasterize(
+        jnp.asarray(means),
+        jnp.asarray(opac),
+        camera,
+        colors=jnp.asarray(colors),
+        scales=jnp.asarray(scales),
+        rotations=jnp.asarray(quats),
+        extra=jnp.asarray(mask_vals),
+        with_depth=True,
+        config=RasterConfig(capacity=1 << 13, backend="xla"),
+    )
+    assert out.extra.shape == (camera.height, camera.width, 2)
+    depth = np.asarray(out.extra[..., 0])
+    alpha_acc = 1.0 - np.asarray(out.final_t)
+    # Expected depth ≈ weighted depths: where opacity accumulated, depth in z range.
+    covered = alpha_acc > 0.5
+    if covered.any():
+        d = depth[covered] / alpha_acc[covered]
+        assert (d > 0.5).all() and (d < 7.0).all()
+
+
+def test_sh_color_path(rng):
+    camera, means, scales, quats, opac, _ = make_scene(rng, n=20)
+    shs = rng.normal(scale=0.3, size=(20, 3, 16)).astype(np.float32)
+    out = rasterize(
+        jnp.asarray(means),
+        jnp.asarray(opac),
+        camera,
+        shs=jnp.asarray(shs),
+        sh_degree=3,
+        scales=jnp.asarray(scales),
+        rotations=jnp.asarray(quats),
+        config=RasterConfig(capacity=1 << 13, backend="xla"),
+    )
+    assert np.isfinite(np.asarray(out.color)).all()
+    assert (np.asarray(out.color) >= 0).all()
+
+
+def test_gradients_finite_differences(rng):
+    """Finite-difference check of ∂loss/∂(means, scales, opacity, color)."""
+    camera, means, scales, quats, opac, colors = make_scene(
+        rng, n=8, width=32, height=32, opa_max=0.8
+    )
+    cfg = RasterConfig(capacity=1 << 12, backend="xla")
+    target = jnp.asarray(rng.uniform(size=(32, 32, 3)).astype(np.float32))
+
+    def loss(means_, scales_, opac_, colors_):
+        out = rasterize(
+            means_, opac_, camera,
+            colors=colors_, scales=scales_, rotations=jnp.asarray(quats),
+            config=cfg,
+        )
+        return jnp.sum((out.color - target) ** 2)
+
+    args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(opac), jnp.asarray(colors))
+    jloss = jax.jit(loss)
+    grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(*args)
+
+    def central_fd(argi, fi, eps):
+        arr = np.asarray(args[argi])
+        out = []
+        for sign in (+1, -1):
+            pert = arr.copy().reshape(-1)
+            pert[fi] += sign * eps
+            new_args = list(args)
+            new_args[argi] = jnp.asarray(pert.reshape(arr.shape))
+            out.append(float(jloss(*new_args)))
+        return (out[0] - out[1]) / (2 * eps)
+
+    # The rendering loss is only piecewise smooth (α ≥ 1/255 contour, integer
+    # tile rects — same jumps exist in the reference CUDA).  Probe random
+    # coordinates; accept a probe only if two FD step sizes agree (i.e. the
+    # probe doesn't straddle a discontinuity), then require the analytic
+    # gradient to match.
+    rng2 = np.random.default_rng(1)
+    tested = 0
+    for argi, g in enumerate(grads):
+        g = np.asarray(g)
+        arr = np.asarray(args[argi])
+        flat_idx = rng2.choice(arr.size, size=min(8, arr.size), replace=False)
+        for fi in flat_idx:
+            fd1 = central_fd(argi, fi, 2e-3)
+            fd2 = central_fd(argi, fi, 1e-3)
+            scale_ref = max(abs(fd1), abs(fd2), 1e-3)
+            if abs(fd1 - fd2) > 0.05 * scale_ref + 1e-3:
+                continue  # discontinuity straddled — not a valid probe
+            an = g.reshape(-1)[fi]
+            assert abs(fd1 - an) <= 2e-2 + 0.08 * max(abs(fd1), abs(an)), (
+                f"arg {argi} idx {fi}: fd={fd1} vs analytic={an}"
+            )
+            tested += 1
+    assert tested >= 10, f"too few stable FD probes ({tested})"
+
+
+def test_ndc_offset_gradient_nonzero(rng):
+    """The densification statistic: grad w.r.t. the zero NDC offset must flow."""
+    camera, means, scales, quats, opac, colors = make_scene(rng, n=12)
+    cfg = RasterConfig(capacity=1 << 12, backend="xla")
+
+    def loss(offset):
+        out = rasterize(
+            jnp.asarray(means), jnp.asarray(opac), camera,
+            colors=jnp.asarray(colors), scales=jnp.asarray(scales),
+            rotations=jnp.asarray(quats), ndc_offset=offset, config=cfg,
+        )
+        return jnp.sum(out.color**2)
+
+    g = jax.grad(loss)(jnp.zeros((12, 2)))
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_overflow_flag(rng):
+    camera, means, scales, quats, opac, colors = make_scene(rng, n=60)
+    out = rasterize(
+        jnp.asarray(means), jnp.asarray(opac), camera,
+        colors=jnp.asarray(colors), scales=jnp.asarray(scales),
+        rotations=jnp.asarray(quats),
+        config=RasterConfig(capacity=16, backend="xla"),
+    )
+    assert bool(out.overflow)
