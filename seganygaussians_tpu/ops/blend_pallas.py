@@ -1,0 +1,525 @@
+"""Pallas TPU kernels for tile alpha-blending (forward + backward).
+
+TPU-first re-design of the CUDA render kernels
+(`cuda_rasterizer/forward.cu:261-374`, `backward.cu:399-557`):
+
+* Grid iterates tiles sequentially; each tile streams K-instance slabs of
+  packed per-instance data, DMA'd from HBM in a field-major (F, M) layout so
+  every chunk transfer is a lane-aligned slice.  Compute layout is
+  pixels-on-sublanes × instances-on-lanes: per-instance scalars are (1, K)
+  rows that broadcast for free, per-instance gradient reductions are natural
+  sublane sums.
+* The front-to-back sequential march becomes, per chunk, an *exclusive
+  cumulative sum of log(1−α)* along the instance axis computed as a
+  strictly-triangular matmul on the MXU, followed by the color accumulation
+  matmul  acc += W·colorsᵀ — the FLOP-heavy part of blending rides the
+  systolic array, the α math rides the VPU.
+* Termination parity with CUDA (`forward.cu:346-351`): two transmittance
+  carries — ``t_all`` multiplies every contributing α and drives the include
+  test (T·(1−α) ≥ 1e-4 defines a prefix), ``t_incl`` multiplies only
+  *included* α and is the running T the CUDA kernel keeps (→ final_T).
+* Backward avoids atomics entirely: it re-marches front-to-back
+  (rematerializing α), uses the suffix identity
+  Σ_{j>i} u_j = U_total − U_prefix_i  with  U_total = g·(out − T_end·bg),
+  reduces per-instance gradients over the 256 pixels in-kernel, and
+  accumulates them into a per-instance HBM buffer with read-modify-write
+  (grid steps are sequential ⇒ deterministic); a final XLA segment-sum maps
+  instance gradients to Gaussians.
+
+The public ``blend`` matches ``blend.py``'s signature and carries a
+custom_vjp wired to the backward kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from seganygaussians_tpu.ops.blend import ALPHA_MAX, ALPHA_MIN, T_EPS, BlendOutput
+
+# Packed per-instance field-major layout (F, M): rows are
+# [x, y, conic_a, conic_b, conic_c, opacity, pad, pad, color_0..color_{C-1}].
+COLOR_OFFSET = 8
+CHUNK = 256  # instances per inner step (lane axis; multiple of 128)
+
+
+def _pad_channels(c: int) -> int:
+    return max(8, ((c + 7) // 8) * 8)
+
+
+def _pack_instances(gauss_id, means2d, conics, opacities, colors, m_pad):
+    """Gather per-Gaussian fields into instance order, packed (F, M_pad).
+
+    Instance-sized gathers are the expensive XLA-on-TPU primitive, so the
+    per-Gaussian fields are packed into ONE (N, F) matrix first (cheap N-sized
+    ops) and expanded with a single row-gather."""
+    c = colors.shape[-1]
+    c_pad = _pad_channels(c)
+    n = means2d.shape[0]
+    m = gauss_id.shape[0]
+    fields = jnp.concatenate(
+        [
+            means2d,
+            conics,
+            opacities[:, None],
+            jnp.zeros((n, 2), jnp.float32),
+            colors,
+            jnp.zeros((n, c_pad - c), jnp.float32) if c_pad != c else jnp.zeros((n, 0)),
+        ],
+        axis=-1,
+    )  # (N, F)
+    inst = fields[gauss_id]  # (M, F): the one instance-sized gather
+    if m_pad != m:
+        inst = jnp.pad(inst, ((0, m_pad - m), (0, 0)))
+    return inst.T  # (F, M_pad)
+
+
+def _pixel_coords(t, grid_x: int, tile_size: int, p: int):
+    """Per-tile pixel coordinates as (P, 1) columns (pixels on sublanes)."""
+    tile_x = (t % grid_x).astype(jnp.float32)
+    tile_y = (t // grid_x).astype(jnp.float32)
+    sub = lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = tile_x * tile_size + (sub % tile_size).astype(jnp.float32)
+    py = tile_y * tile_size + (sub // tile_size).astype(jnp.float32)
+    return px, py
+
+
+def _tri_excl(k: int):
+    """Strictly upper-triangular ones (K, K): contracting x (P,K) with this
+    yields the exclusive prefix-sum of x along the instance (lane) axis."""
+    row = lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    col = lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    return (row < col).astype(jnp.float32)
+
+
+def _chunk_alpha(slab, px, py, row0, start, end, k):
+    """Shared α computation for a chunk: returns (alpha (P,K), idx (1,K))."""
+    gx = slab[0:1, :]  # (1, K)
+    gy = slab[1:2, :]
+    ca = slab[2:3, :]
+    cb = slab[3:4, :]
+    cc = slab[4:5, :]
+    opa = slab[5:6, :]
+
+    dx = gx - px  # (P, K)
+    dy = gy - py
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp(power))
+
+    idx = row0 + lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    in_seg = (idx >= start) & (idx < end)
+    contributes = (power <= 0.0) & (alpha >= ALPHA_MIN) & in_seg
+    alpha = jnp.where(contributes, alpha, 0.0)
+    return alpha, idx, dx, dy, power
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    starts_ref,  # scalar prefetch: (T+1,) int32 SMEM
+    inst_ref,  # (F, M) f32 HBM
+    bg_ref,  # (1, C_pad) f32 VMEM
+    tiles_ref,  # out (1, P, C_pad)
+    final_t_ref,  # out (1, P, 1)
+    n_contrib_ref,  # out (1, P, 1) int32
+    slab_ref,  # scratch (F, K) VMEM
+    copy_sem,
+    *,
+    grid_x: int,
+    tile_size: int,
+    c_pad: int,
+):
+    t = pl.program_id(0)
+    p = tile_size * tile_size
+    k = CHUNK
+
+    start = starts_ref[t]
+    end = starts_ref[t + 1]
+    c0 = start // k
+    c1 = lax.div(end + k - 1, k)
+
+    px, py = _pixel_coords(t, grid_x, tile_size, p)
+    tri = _tri_excl(k)
+
+    def body(ci, carry):
+        t_all, t_incl, contrib, acc = carry
+        row0 = ci * k
+        copy = pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(row0, k)], slab_ref, copy_sem
+        )
+        copy.start()
+        copy.wait()
+        slab = slab_ref[:, :]
+
+        alpha, idx, _, _, _ = _chunk_alpha(slab, px, py, row0, start, end, k)
+
+        log1m = jnp.log1p(-alpha)
+        cum_excl = jax.lax.dot_general(
+            log1m, tri,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (P, K)
+        t_before = t_all * jnp.exp(cum_excl)
+        t_after = t_before * (1.0 - alpha)
+        include = (t_after >= T_EPS) & (alpha > 0.0)
+
+        w = jnp.where(include, alpha * t_before, 0.0)  # (P, K)
+        colors = slab[COLOR_OFFSET : COLOR_OFFSET + c_pad, :]  # (C_pad, K)
+        acc = acc + jax.lax.dot_general(
+            w, colors,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (P, C_pad)
+
+        inc_log1m = jnp.where(include, log1m, 0.0)
+        t_all = t_all * jnp.exp(jnp.sum(log1m, axis=1, keepdims=True))
+        t_incl = t_incl * jnp.exp(jnp.sum(inc_log1m, axis=1, keepdims=True))
+
+        rank = (idx - start + 1).astype(jnp.int32)  # (1, K)
+        rank_b = jnp.where(include, rank, 0)  # (P, K)
+        contrib = jnp.maximum(contrib, jnp.max(rank_b, axis=1, keepdims=True))
+        return t_all, t_incl, contrib, acc
+
+    init = (
+        jnp.ones((p, 1), jnp.float32),
+        jnp.ones((p, 1), jnp.float32),
+        jnp.zeros((p, 1), jnp.int32),
+        jnp.zeros((p, c_pad), jnp.float32),
+    )
+    t_all, t_incl, contrib, acc = lax.fori_loop(c0, c1, body, init)
+
+    tiles_ref[0, :, :] = acc + t_incl * bg_ref[0, :].reshape(1, c_pad)
+    final_t_ref[0, :, :] = t_incl
+    n_contrib_ref[0, :, :] = contrib
+
+
+def _fwd_call(inst, tile_starts, bg_pad, *, num_tiles, grid_x, tile_size, c_pad):
+    p = tile_size * tile_size
+    f = inst.shape[0]
+    kernel = functools.partial(
+        _fwd_kernel, grid_x=grid_x, tile_size=tile_size, c_pad=c_pad
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, p, c_pad), lambda t, s: (t, 0, 0)),
+            pl.BlockSpec((1, p, 1), lambda t, s: (t, 0, 0)),
+            pl.BlockSpec((1, p, 1), lambda t, s: (t, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((f, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, p, c_pad), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, p, 1), jnp.int32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(tile_starts, inst, bg_pad)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    starts_ref,  # scalar prefetch
+    inst_ref,  # (F, M) HBM
+    g_tiles_ref,  # (1, P, C_pad)
+    g_final_t_ref,  # (1, P, 1)
+    out_tiles_ref,  # (1, P, C_pad) forward output (residual)
+    final_t_ref,  # (1, P, 1) forward final_T (residual)
+    bg_ref,  # (1, C_pad)
+    dinst_in_ref,  # (F, M) HBM — zero-init, aliased to output
+    dinst_ref,  # out (F, M) HBM — RMW-accumulated per-instance grads
+    slab_ref,  # scratch (F, K)
+    gslab_ref,  # scratch (F, K)
+    copy_sem,
+    g_sem,
+    *,
+    grid_x: int,
+    tile_size: int,
+    c_pad: int,
+):
+    del dinst_in_ref  # aliased with dinst_ref
+    t = pl.program_id(0)
+    p = tile_size * tile_size
+    k = CHUNK
+
+    start = starts_ref[t]
+    end = starts_ref[t + 1]
+    c0 = start // k
+    c1 = lax.div(end + k - 1, k)
+
+    px, py = _pixel_coords(t, grid_x, tile_size, p)
+    tri = _tri_excl(k)
+
+    g_pix = g_tiles_ref[0, :, :]  # (P, C_pad)
+    g_t = g_final_t_ref[0, :, :]  # (P, 1)
+    t_end = final_t_ref[0, :, :]  # (P, 1)
+    bg = bg_ref[0, :].reshape(1, c_pad)
+    out_pix = out_tiles_ref[0, :, :]  # (P, C_pad)
+
+    # U_total,p = Σ_j u_j,p = g·(out − T_end·bg); suffix S_i = U_total − U_prefix_i.
+    g_dot_bg = jnp.sum(g_pix * bg, axis=1, keepdims=True)  # (P, 1)
+    u_total = jnp.sum(g_pix * out_pix, axis=1, keepdims=True) - t_end * g_dot_bg
+
+    # Terms multiplying −1/(1−α_i): background + final_T cotangent.
+    tail_const = (g_dot_bg + g_t) * t_end  # (P, 1)
+
+    def body(ci, carry):
+        t_all, u_prefix = carry
+        row0 = ci * k
+        copy = pltpu.make_async_copy(inst_ref.at[:, pl.ds(row0, k)], slab_ref, copy_sem)
+        copy.start()
+        copy.wait()
+        slab = slab_ref[:, :]
+        colors = slab[COLOR_OFFSET : COLOR_OFFSET + c_pad, :]  # (C_pad, K)
+        opa = slab[5:6, :]
+        ca = slab[2:3, :]
+        cb = slab[3:4, :]
+        cc = slab[4:5, :]
+
+        alpha, idx, dx, dy, power = _chunk_alpha(slab, px, py, row0, start, end, k)
+        g_exp = jnp.exp(power)
+        alpha_raw = opa * g_exp
+
+        log1m = jnp.log1p(-alpha)
+        cum_excl = jax.lax.dot_general(
+            log1m, tri,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        t_before = t_all * jnp.exp(cum_excl)
+        t_after = t_before * (1.0 - alpha)
+        include = (t_after >= T_EPS) & (alpha > 0.0)
+        w = jnp.where(include, alpha * t_before, 0.0)  # (P, K)
+
+        # dL/dc_i = Σ_p g_p ⊗ w_i,p  → (C_pad, K) matmul.
+        d_colors = jax.lax.dot_general(
+            g_pix, w,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        # u_i,p = (g·c_i) w_i,p ; inclusive prefix along instances.
+        g_dot_c = jax.lax.dot_general(
+            g_pix, colors,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (P, K)
+        u = g_dot_c * w
+        u_cum_excl = jax.lax.dot_general(
+            u, tri,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        u_prefix_i = u_prefix + u_cum_excl + u  # inclusive (P, K)
+        suffix = u_total - u_prefix_i  # Σ_{j>i} u_j
+
+        one_m_alpha = jnp.maximum(1.0 - alpha, 1e-6)
+        d_alpha = jnp.where(
+            include,
+            g_dot_c * t_before - (suffix + tail_const) / one_m_alpha,
+            0.0,
+        )  # (P, K)
+
+        # α = min(0.99, opa·G): zero gradient through the clamp.
+        unclamped = (alpha_raw < ALPHA_MAX) & include
+        d_alpha_u = jnp.where(unclamped, d_alpha, 0.0)
+        d_opa = jnp.sum(d_alpha_u * g_exp, axis=0, keepdims=True)  # (1, K)
+        d_power = d_alpha_u * alpha  # α = opa·G when unclamped
+        d_ca = jnp.sum(-0.5 * dx * dx * d_power, axis=0, keepdims=True)
+        d_cb = jnp.sum(-dx * dy * d_power, axis=0, keepdims=True)
+        d_cc = jnp.sum(-0.5 * dy * dy * d_power, axis=0, keepdims=True)
+        d_gx = jnp.sum(-(ca * dx + cb * dy) * d_power, axis=0, keepdims=True)
+        d_gy = jnp.sum(-(cc * dy + cb * dx) * d_power, axis=0, keepdims=True)
+
+        grad_rows = jnp.concatenate(
+            [d_gx, d_gy, d_ca, d_cb, d_cc, d_opa,
+             jnp.zeros((2, k), jnp.float32), d_colors],
+            axis=0,
+        )  # (F, K)
+
+        # Read-modify-write accumulate into the per-instance gradient buffer
+        # (boundary chunks are shared between tiles; the grid is sequential so
+        # RMW is race-free and deterministic).
+        read = pltpu.make_async_copy(dinst_ref.at[:, pl.ds(row0, k)], gslab_ref, g_sem)
+        read.start()
+        read.wait()
+        gslab_ref[:, :] = gslab_ref[:, :] + grad_rows
+        write = pltpu.make_async_copy(gslab_ref, dinst_ref.at[:, pl.ds(row0, k)], g_sem)
+        write.start()
+        write.wait()
+
+        t_all = t_all * jnp.exp(jnp.sum(log1m, axis=1, keepdims=True))
+        u_prefix = u_prefix + jnp.sum(u, axis=1, keepdims=True)
+        return t_all, u_prefix
+
+    init = (jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32))
+    lax.fori_loop(c0, c1, body, init)
+
+
+def _bwd_call(
+    inst, tile_starts, g_tiles, g_final_t, out_tiles, final_t, bg_pad,
+    *, num_tiles, grid_x, tile_size, c_pad,
+):
+    p = tile_size * tile_size
+    f, m = inst.shape
+    kernel = functools.partial(
+        _bwd_kernel, grid_x=grid_x, tile_size=tile_size, c_pad=c_pad
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # inst
+            pl.BlockSpec((1, p, c_pad), lambda t, s: (t, 0, 0)),  # g_tiles
+            pl.BlockSpec((1, p, 1), lambda t, s: (t, 0, 0)),  # g_final_t
+            pl.BlockSpec((1, p, c_pad), lambda t, s: (t, 0, 0)),  # out_tiles
+            pl.BlockSpec((1, p, 1), lambda t, s: (t, 0, 0)),  # final_t
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bg
+            pl.BlockSpec(memory_space=pl.ANY),  # dinst init (aliased)
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # dinst (RMW)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((f, CHUNK), jnp.float32),
+            pltpu.VMEM((f, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    # The dinst-init zeros are overall input index 7 (aliasing indices count
+    # the scalar-prefetch arg); aliasing to output 0 enables in-place RMW.
+    dinst = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((f, m), jnp.float32)],
+        input_output_aliases={7: 0},
+        interpret=jax.default_backend() != "tpu",
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(tile_starts, inst, g_tiles, g_final_t, out_tiles, final_t, bg_pad,
+      jnp.zeros((f, m), jnp.float32))
+    return dinst[0]
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper with blend.py-compatible signature
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _blend_cvjp(
+    gauss_id, tile_id, tile_starts, means2d, conics, opacities, colors, bg,
+    grid_x, grid_y, tile_size,
+):
+    out, _ = _blend_fwd(
+        gauss_id, tile_id, tile_starts, means2d, conics, opacities, colors, bg,
+        grid_x, grid_y, tile_size,
+    )
+    return out
+
+
+def _blend_fwd(
+    gauss_id, tile_id, tile_starts, means2d, conics, opacities, colors, bg,
+    grid_x, grid_y, tile_size,
+):
+    del tile_id
+    num_tiles = grid_x * grid_y
+    c = colors.shape[-1]
+    c_pad = _pad_channels(c)
+    m = gauss_id.shape[0]
+    m_pad = ((m + CHUNK - 1) // CHUNK) * CHUNK
+    inst = _pack_instances(gauss_id, means2d, conics, opacities, colors, m_pad)
+    bg_pad = jnp.pad(bg.reshape(1, -1), ((0, 0), (0, c_pad - c)))
+    tiles, final_t, n_contrib = _fwd_call(
+        inst, tile_starts, bg_pad,
+        num_tiles=num_tiles, grid_x=grid_x, tile_size=tile_size, c_pad=c_pad,
+    )
+    p = tile_size * tile_size
+    out = BlendOutput(
+        tiles=tiles[:, :, :c],
+        final_t=final_t.reshape(num_tiles, p),
+        n_contrib=n_contrib.reshape(num_tiles, p),
+    )
+    res = (gauss_id, tile_starts, inst, tiles, final_t, bg_pad, means2d.shape[0], c)
+    return out, res
+
+
+def _blend_bwd(grid_x, grid_y, tile_size, res, g):
+    gauss_id, tile_starts, inst, tiles, final_t, bg_pad, n, c = res
+    num_tiles = grid_x * grid_y
+    c_pad = _pad_channels(c)
+    p = tile_size * tile_size
+
+    g_tiles = g.tiles
+    g_final_t = g.final_t
+    if g_tiles is None:
+        g_tiles = jnp.zeros((num_tiles, p, c), jnp.float32)
+    if g_final_t is None:
+        g_final_t = jnp.zeros((num_tiles, p), jnp.float32)
+    if c_pad != c:
+        g_tiles = jnp.pad(g_tiles, ((0, 0), (0, 0), (0, c_pad - c)))
+
+    dinst = _bwd_call(
+        inst, tile_starts, g_tiles,
+        g_final_t.reshape(num_tiles, p, 1), tiles, final_t, bg_pad,
+        num_tiles=num_tiles, grid_x=grid_x, tile_size=tile_size, c_pad=c_pad,
+    )  # (F, M_pad)
+
+    m = gauss_id.shape[0]
+    dinst = dinst[:, :m].T  # (M, F)
+    # Deterministic instance→Gaussian gradient reduction (XLA segment-sum).
+    d_means2d = jax.ops.segment_sum(dinst[:, 0:2], gauss_id, num_segments=n)
+    d_conics = jax.ops.segment_sum(dinst[:, 2:5], gauss_id, num_segments=n)
+    d_opac = jax.ops.segment_sum(dinst[:, 5], gauss_id, num_segments=n)
+    d_colors = jax.ops.segment_sum(
+        dinst[:, COLOR_OFFSET : COLOR_OFFSET + c], gauss_id, num_segments=n
+    )
+
+    # d bg = Σ_pixels g ⊙ T_end.
+    ft = final_t.reshape(num_tiles, p)
+    d_bg = jnp.einsum("tpc,tp->c", g.tiles, ft) if g.tiles is not None else jnp.zeros((c,))
+
+    zero_i = np.zeros(gauss_id.shape, jax.dtypes.float0)
+    zero_t = np.zeros(tile_starts.shape, jax.dtypes.float0)
+    return (zero_i, zero_i, zero_t, d_means2d, d_conics, d_opac, d_colors, d_bg)
+
+
+_blend_cvjp.defvjp(
+    lambda *args: _blend_fwd(*args),
+    _blend_bwd,
+)
+
+
+def blend(
+    gauss_id, tile_id, tile_starts, means2d, conics, opacities, colors, bg,
+    grid_x, grid_y, tile_size,
+) -> BlendOutput:
+    """Pallas-accelerated blend with blend.py-compatible signature."""
+    return _blend_cvjp(
+        gauss_id, tile_id, tile_starts, means2d, conics, opacities, colors,
+        bg, grid_x, grid_y, tile_size,
+    )

@@ -124,37 +124,34 @@ def rasterize(
 
     binned = bin_gaussians(prep, grid_x, grid_y, config.capacity)
 
+    # Blend consumes *depth-sorted* per-Gaussian fields (binned.gauss_id holds
+    # depth ranks).  The N-sized reorder gathers are cheap and differentiable.
+    perm = binned.depth_perm
+    means2d_d = means2d[perm]
+    conics_d = prep.conics[perm]
+    opacities_d = opacities[perm]
+    colors_d = all_colors[perm]
+
     backend = _select_backend(config.backend)
     if backend == "pallas":
         from seganygaussians_tpu.ops import blend_pallas
 
-        out = blend_pallas.blend(
-            binned.gauss_id,
-            binned.tile_id,
-            binned.tile_starts,
-            means2d,
-            prep.conics,
-            opacities,
-            all_colors,
-            bg_full,
-            grid_x,
-            grid_y,
-            config.tile_size,
-        )
+        blend_fn = blend_pallas.blend
     else:
-        out = blend_xla.blend(
-            binned.gauss_id,
-            binned.tile_id,
-            binned.tile_starts,
-            means2d,
-            prep.conics,
-            opacities,
-            all_colors,
-            bg_full,
-            grid_x,
-            grid_y,
-            config.tile_size,
-        )
+        blend_fn = blend_xla.blend
+    out = blend_fn(
+        binned.gauss_id,
+        binned.tile_id,
+        binned.tile_starts,
+        means2d_d,
+        conics_d,
+        opacities_d,
+        colors_d,
+        bg_full,
+        grid_x,
+        grid_y,
+        config.tile_size,
+    )
 
     img = blend_xla.tiles_to_image(
         out.tiles, grid_x, grid_y, config.tile_size, camera.width, camera.height

@@ -1,0 +1,82 @@
+"""Pallas blend kernels vs the XLA oracle (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from seganygaussians_tpu.ops.camera import make_camera
+from seganygaussians_tpu.ops.rasterize import RasterConfig, rasterize
+from tests.test_rasterize import make_scene
+
+
+def render_both(rng, n=50, c=3, with_depth=False, width=48, height=32):
+    camera, means, scales, quats, opac, colors = make_scene(
+        rng, n=n, c=c, width=width, height=height
+    )
+    bg = np.linspace(0.1, 0.9, c).astype(np.float32)
+    outs = {}
+    for backend in ("xla", "pallas"):
+        outs[backend] = rasterize(
+            jnp.asarray(means),
+            jnp.asarray(opac),
+            camera,
+            colors=jnp.asarray(colors),
+            scales=jnp.asarray(scales),
+            rotations=jnp.asarray(quats),
+            bg=jnp.asarray(bg),
+            with_depth=with_depth,
+            config=RasterConfig(capacity=1 << 13, backend=backend),
+        )
+    return camera, (means, scales, quats, opac, colors), outs
+
+
+@pytest.mark.parametrize("c", [3, 32])
+def test_pallas_forward_matches_oracle(rng, c):
+    _, _, outs = render_both(rng, c=c)
+    np.testing.assert_allclose(
+        np.asarray(outs["pallas"].color), np.asarray(outs["xla"].color), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs["pallas"].final_t), np.asarray(outs["xla"].final_t), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs["pallas"].n_contrib), np.asarray(outs["xla"].n_contrib)
+    )
+
+
+def test_pallas_depth_variant_matches_oracle(rng):
+    _, _, outs = render_both(rng, with_depth=True)
+    np.testing.assert_allclose(
+        np.asarray(outs["pallas"].extra), np.asarray(outs["xla"].extra), atol=1e-4
+    )
+
+
+def test_pallas_gradients_match_oracle(rng):
+    camera, (means, scales, quats, opac, colors), _ = render_both(rng, n=40)
+    bg = jnp.asarray([0.3, 0.5, 0.7])
+    target = jnp.asarray(np.random.default_rng(3).uniform(size=(32, 48, 3)).astype(np.float32))
+
+    def loss(backend, means_, scales_, opac_, colors_, offset):
+        out = rasterize(
+            means_, opac_, camera,
+            colors=colors_, scales=scales_, rotations=jnp.asarray(quats),
+            bg=bg, ndc_offset=offset,
+            config=RasterConfig(capacity=1 << 13, backend=backend),
+        )
+        return jnp.sum((out.color - target) ** 2) + 0.1 * jnp.sum(out.final_t)
+
+    args = (
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(opac),
+        jnp.asarray(colors), jnp.zeros((40, 2)),
+    )
+    g_x = jax.grad(lambda *a: loss("xla", *a), argnums=(0, 1, 2, 3, 4))(*args)
+    g_p = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 2, 3, 4))(*args)
+
+    names = ["means3d", "scales", "opacity", "colors", "ndc_offset"]
+    for name, gx, gp in zip(names, g_x, g_p):
+        gx, gp = np.asarray(gx), np.asarray(gp)
+        scale = np.abs(gx).max() + 1e-6
+        np.testing.assert_allclose(
+            gp / scale, gx / scale, atol=2e-4, err_msg=f"grad mismatch: {name}"
+        )
