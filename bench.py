@@ -1,0 +1,96 @@
+"""Benchmark: rasterized Mpixels/s/chip, forward+backward (RGB path).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference publishes no numbers (BASELINE.md); the CUDA
+3DGS rasterizer on an A100 renders ~150-250 fps at 1080p on typical scenes
+(fwd only) ≈ 400 Mpix/s fwd ≈ ~130 Mpix/s fwd+bwd. We use 130 Mpix/s as the
+A100 fwd+bwd stand-in so vs_baseline tracks the ≥3×-A100 north star.
+"""
+
+import json
+import time
+
+import numpy as np
+
+A100_FWD_BWD_MPIX_S = 130.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from seganygaussians_tpu.models import gaussians as gm
+    from seganygaussians_tpu.ops.camera import make_camera
+    from seganygaussians_tpu.ops.rasterize import RasterConfig, rasterize
+
+    on_tpu = jax.default_backend() == "tpu"
+    W, H = (1024, 768) if on_tpu else (128, 96)
+    n = 100_000 if on_tpu else 2_000
+    cap = (1 << 21) if on_tpu else (1 << 14)
+
+    rng = np.random.default_rng(0)
+    # A scene-like cloud: points in a view-filling slab, LOD-ish scales.
+    pts = np.stack(
+        [
+            rng.uniform(-1.2, 1.2, n),
+            rng.uniform(-0.9, 0.9, n),
+            rng.uniform(2.0, 6.0, n),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    cols = rng.uniform(0.0, 1.0, (n, 3)).astype(np.float32)
+    state = gm.create_from_points(pts, cols, sh_degree=3, capacity=n)
+    cam = make_camera(
+        np.eye(3), np.zeros(3), fovx=1.1, fovy=0.9, width=W, height=H
+    )
+    cfg = RasterConfig(capacity=cap, backend="auto")
+    bg = jnp.zeros(3)
+
+    p = state.params
+
+    def fwd_bwd(params):
+        def loss(prm):
+            out = rasterize(
+                prm.xyz,
+                gm.get_opacity(prm)[:, 0],
+                cam,
+                shs=gm.get_shs(prm),
+                sh_degree=3,
+                scales=gm.get_scaling(prm),
+                rotations=gm.get_rotation(prm),
+                bg=bg,
+                active_mask=state.alive,
+                config=cfg,
+            )
+            return jnp.sum(out.color), out.overflow
+
+        (val, overflow), grads = jax.value_and_grad(loss, has_aux=True)(params)
+        return val, overflow, grads.xyz
+
+    step = jax.jit(fwd_bwd)
+    val, overflow, g = step(p)  # compile + warmup
+    jax.block_until_ready(g)
+    assert not bool(overflow), "instance capacity overflow — raise cap"
+
+    iters = 20 if on_tpu else 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        val, overflow, g = step(p)
+    jax.block_until_ready(g)
+    dt = (time.perf_counter() - t0) / iters
+
+    mpix_s = (W * H / dt) / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "raster_fwd_bwd_mpix_per_s",
+                "value": round(mpix_s, 2),
+                "unit": "Mpix/s/chip",
+                "vs_baseline": round(mpix_s / A100_FWD_BWD_MPIX_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,175 @@
+"""32-dim affinity-feature Gaussian model (SAGA's feature field).
+
+TPU-first re-design of ``FeatureGaussianModel`` (`scene/gaussian_model_ff.py`,
+842 LoC).  Geometry (xyz/scaling/rotation/opacity) is *frozen* during
+contrastive training (`load_ply_from_3dgs` keeps it fixed,
+`gaussian_model_ff.py:650-686`), so the state splits into a frozen geometry
+pytree and one learnable ``point_features`` array with its own Adam — no
+densification machinery needed here.
+
+Feature smoothing (`get_smoothed_point_features`, `:338-364`): mean of
+L2-normalised features over the K nearest neighbours (pytorch3d
+``knn_points``, which includes *self* as neighbour 0 — reproduced by
+prepending the identity column to our Morton-window KNN map).  Dropout picks
+one random K/2-subset of neighbour columns per call (same subset for every
+point), matching the torch ``randperm(K)[:K·dropout]`` semantics.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seganygaussians_tpu.models import optim
+from seganygaussians_tpu.ops.knn import knn_map
+
+
+class FrozenGeometry(NamedTuple):
+    """Non-learnable geometry copied from a trained scene model (activated
+    lazily like the scene model: log scales, pre-sigmoid opacity)."""
+
+    xyz: jnp.ndarray  # (C, 3)
+    scaling: jnp.ndarray  # (C, 3) log
+    rotation: jnp.ndarray  # (C, 4)
+    opacity: jnp.ndarray  # (C, 1) pre-sigmoid
+    alive: jnp.ndarray  # (C,) bool
+
+
+class FeatureState(NamedTuple):
+    geom: FrozenGeometry
+    point_features: jnp.ndarray  # (C, D)
+    smooth_map: jnp.ndarray  # (C, K) neighbour indices incl. self at col 0
+    opt: optim.AdamState  # over point_features only
+
+
+def get_scaling(geom: FrozenGeometry) -> jnp.ndarray:
+    return jnp.exp(geom.scaling)
+
+
+def get_opacity(geom: FrozenGeometry) -> jnp.ndarray:
+    return jax.nn.sigmoid(geom.opacity)
+
+
+def get_rotation(geom: FrozenGeometry) -> jnp.ndarray:
+    return geom.rotation / jnp.linalg.norm(
+        geom.rotation, axis=-1, keepdims=True
+    ).clip(1e-12)
+
+
+def build_smooth_map(xyz: jnp.ndarray, k: int = 16) -> jnp.ndarray:
+    """(C, K) neighbour map with self as column 0 (pytorch3d `knn_points`
+    on identical query/source includes the query point itself)."""
+    nbrs = knn_map(xyz, k - 1)
+    return jnp.concatenate([jnp.arange(xyz.shape[0])[:, None], nbrs], axis=-1)
+
+
+def from_scene_geometry(
+    xyz: np.ndarray,
+    scaling: np.ndarray,
+    rotation: np.ndarray,
+    opacity: np.ndarray,
+    feature_dim: int = 32,
+    target: str = "contrastive_feature",
+    smooth_k: int = 16,
+    seed: int = 0,
+    capacity: Optional[int] = None,
+) -> FeatureState:
+    """`load_ply_from_3dgs` + `change_to_segmentation_mode`
+    (`gaussian_model_ff.py:650-686,133-166`): geometry frozen; features init
+    to randn·1e-2 (contrastive) or zeros (coarse_seg_everything)."""
+    n = xyz.shape[0]
+    if capacity is None:
+        capacity = n
+    assert n <= capacity
+
+    def pad(a):
+        a = jnp.asarray(a, jnp.float32)
+        return jnp.pad(a, [(0, capacity - n)] + [(0, 0)] * (a.ndim - 1))
+
+    geom = FrozenGeometry(
+        xyz=pad(xyz),
+        scaling=pad(scaling),
+        rotation=pad(rotation),
+        opacity=pad(opacity),
+        alive=jnp.arange(capacity) < n,
+    )
+    if target == "contrastive_feature":
+        feats = (
+            jax.random.normal(jax.random.PRNGKey(seed), (capacity, feature_dim)) * 1e-2
+        )
+    else:
+        feats = jnp.zeros((capacity, feature_dim), jnp.float32)
+    # KNN over live geometry only; dead slots map to themselves.
+    smooth_map = build_smooth_map(geom.xyz, smooth_k)
+    smooth_map = jnp.where(
+        geom.alive[:, None], smooth_map, jnp.arange(capacity)[:, None]
+    )
+    return FeatureState(
+        geom=geom,
+        point_features=feats.astype(jnp.float32),
+        smooth_map=smooth_map,
+        opt=optim.adam_init(feats),
+    )
+
+
+def smoothed_point_features(
+    state: FeatureState,
+    key: Optional[jax.Array] = None,
+    dropout: float = 0.5,
+) -> jnp.ndarray:
+    """KNN-smoothed features (`gaussian_model_ff.py:338-364`): L2-normalise,
+    then average over a random ⌊K·dropout⌋-subset of the K neighbour columns
+    (one subset per call), or all K if dropout ∉ (0, 1)."""
+    k = state.smooth_map.shape[1]
+    # rsqrt(Σx²+ε) form: finite gradient even for all-zero feature rows
+    normed = state.point_features * jax.lax.rsqrt(
+        jnp.sum(state.point_features**2, axis=-1, keepdims=True) + 1e-12
+    )
+    if key is not None and 0.0 < dropout < 1.0:
+        n_sel = int(k * dropout)
+        cols = jax.random.permutation(key, k)[:n_sel]
+        nbrs = state.smooth_map[:, cols]
+    else:
+        nbrs = state.smooth_map
+    return jnp.mean(normed[nbrs], axis=1)
+
+
+def smooth_point_features_inplace(
+    state: FeatureState, smoothed_dim: int = 24
+) -> FeatureState:
+    """In-place neighbourhood mean of the first ``smoothed_dim`` channels
+    (`gaussian_model_ff.py:322-336`)."""
+    mean = jnp.mean(state.point_features[state.smooth_map], axis=1)
+    feats = state.point_features.at[:, :smoothed_dim].set(mean[:, :smoothed_dim])
+    return state._replace(point_features=feats)
+
+
+def multi_res_smoothed_features(
+    state: FeatureState,
+    keys: jax.Array,  # (L,) PRNG keys for the per-level point subsets
+    sample_rates=(0.1, 0.5, 1.5),
+    ks=(4, 4, 16),
+    smooth_weights: Optional[jnp.ndarray] = None,  # (C, L)
+) -> jnp.ndarray:
+    """Multi-resolution smoothing (`gaussian_model_ff.py:366-400`): level i
+    subsamples points at ``sample_rates[i]`` and averages the K_i nearest
+    *subsampled* features.  Subsampling keeps shapes static by masking the
+    Morton window to selected points (distances of dropped points → +inf via
+    coordinate displacement)."""
+    normed = state.point_features / jnp.linalg.norm(
+        state.point_features, axis=-1, keepdims=True
+    ).clip(1e-9)
+    xyz = state.geom.xyz
+    span = jnp.max(xyz) - jnp.min(xyz) + 1.0
+    out = jnp.zeros_like(normed)
+    for i, (rate, k) in enumerate(zip(sample_rates, ks)):
+        pm = jax.random.uniform(keys[i], (xyz.shape[0],)) < min(rate, 1.0)
+        # displace unselected points far away so the KNN never picks them
+        xyz_masked = jnp.where(pm[:, None], xyz, xyz + 100.0 * span)
+        nbrs = build_smooth_map(xyz_masked, k)
+        w = smooth_weights[:, i : i + 1] if smooth_weights is not None else 1.0
+        out = out + w * jnp.mean(normed[nbrs], axis=1)
+    return out

@@ -119,6 +119,21 @@ class CameraParams:
         return self.height / (2.0 * self.tan_fovy)
 
 
+# Pytree registration: matrices are traced leaves; width/height/tanfov are
+# static aux data (shapes and tile grids depend on them), so jitted train
+# steps recompile once per camera *resolution*, not per camera.
+import jax.tree_util as _jtu  # noqa: E402
+
+_jtu.register_pytree_node(
+    CameraParams,
+    lambda c: (
+        (c.world_view, c.full_proj, c.cam_center),
+        (c.width, c.height, c.tan_fovx, c.tan_fovy),
+    ),
+    lambda aux, children: CameraParams(*children, *aux),
+)
+
+
 def make_camera(
     R: np.ndarray,
     t: np.ndarray,

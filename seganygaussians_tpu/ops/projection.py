@@ -125,8 +125,13 @@ def preprocess(
     cov3d_precomp: Optional[jnp.ndarray] = None,
     scale_modifier: float = 1.0,
     tile_size: int = 16,
+    active_mask: Optional[jnp.ndarray] = None,
 ) -> Preprocessed:
-    """Vectorized projection + culling + tile-rect stage."""
+    """Vectorized projection + culling + tile-rect stage.
+
+    ``active_mask`` (N,) bool culls rows entirely (used for the dead slots of
+    fixed-capacity Gaussian buffers — they produce no tile instances at all).
+    """
     if cov3d_precomp is None:
         assert scales is not None and rotations is not None
         cov3d = build_covariance_3d(scales, rotations, scale_modifier)
@@ -176,6 +181,8 @@ def preprocess(
     num_tiles = (rx1 - rx0) * (ry1 - ry0)
 
     valid = in_front & det_valid & (num_tiles > 0)
+    if active_mask is not None:
+        valid = valid & active_mask
     radii = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
     tiles_touched = jnp.where(valid, num_tiles, 0).astype(jnp.int32)
 

@@ -73,6 +73,7 @@ def rasterize(
     with_depth: bool = False,
     bg: Optional[jnp.ndarray] = None,
     ndc_offset: Optional[jnp.ndarray] = None,  # (N, 2) zeros; grad target
+    active_mask: Optional[jnp.ndarray] = None,  # (N,) bool; False ⇒ culled
     config: RasterConfig = RasterConfig(),
 ) -> RasterOutput:
     """Differentiable tile rasterization of 3D Gaussians.
@@ -92,6 +93,7 @@ def rasterize(
         cov3d_precomp=cov3d_precomp,
         scale_modifier=config.scale_modifier,
         tile_size=config.tile_size,
+        active_mask=active_mask,
     )
 
     means2d = prep.means2d

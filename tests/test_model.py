@@ -1,0 +1,223 @@
+"""Tests: KNN ops, masked Adam, Gaussian state, densification, PLY I/O."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from seganygaussians_tpu.models import gaussians as gm
+from seganygaussians_tpu.models import optim
+from seganygaussians_tpu.ops import knn
+from seganygaussians_tpu.data import ply
+
+
+# ---------------------------------------------------------------------------
+# KNN
+# ---------------------------------------------------------------------------
+
+
+def brute_knn(xyz, k):
+    d2 = np.sum((xyz[:, None, :] - xyz[None, :, :]) ** 2, axis=-1)
+    np.fill_diagonal(d2, np.inf)
+    return np.sort(d2, axis=1)[:, :k]
+
+
+def test_mean_sq_dist_3nn_close_to_exact(rng):
+    xyz = rng.normal(size=(500, 3)).astype(np.float32)
+    approx = np.asarray(knn.mean_sq_dist_to_3nn(jnp.asarray(xyz), window=8))
+    exact = brute_knn(xyz, 3).mean(axis=1)
+    # Morton-window KNN is approximate; scale-init only needs the right
+    # magnitude. Check median relative error is tiny and worst case bounded.
+    rel = np.abs(approx - exact) / exact
+    assert np.median(rel) < 0.01
+    assert np.mean(rel < 0.5) > 0.95
+
+
+def test_knn_map_neighbors_are_near(rng):
+    xyz = rng.normal(size=(400, 3)).astype(np.float32)
+    idx = np.asarray(knn.knn_map(jnp.asarray(xyz), k=8))
+    assert idx.shape == (400, 8)
+    exact = brute_knn(xyz, 8)
+    d2 = np.sum((xyz[:, None, :] - xyz[idx]) ** 2, axis=-1)
+    # Approximate neighbors should be within a small factor of the true kth NN.
+    ratio = d2.max(axis=1) / np.maximum(exact[:, -1], 1e-12)
+    assert np.median(ratio) < 2.0
+
+
+# ---------------------------------------------------------------------------
+# Adam parity vs torch
+# ---------------------------------------------------------------------------
+
+
+def test_adam_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    p0 = rng.normal(size=(7, 3)).astype(np.float32)
+    grads = [rng.normal(size=(7, 3)).astype(np.float32) for _ in range(5)]
+
+    tp = torch.nn.Parameter(torch.tensor(p0))
+    opt = torch.optim.Adam([tp], lr=0.01, eps=1e-15)
+    for g in grads:
+        opt.zero_grad()
+        tp.grad = torch.tensor(g)
+        opt.step()
+
+    params = jnp.asarray(p0)
+    state = optim.adam_init(params)
+    for g in grads:
+        params, state = optim.adam_update(
+            jnp.asarray(g), state, params, jnp.asarray(0.01)
+        )
+    np.testing.assert_allclose(np.asarray(params), tp.detach().numpy(), atol=1e-6)
+
+
+def test_expon_lr_parity():
+    # values from the reference helper (utils/general_utils.py:29-62)
+    def ref(step, lr_init, lr_final, delay_mult, max_steps):
+        t = np.clip(step / max_steps, 0, 1)
+        return np.exp(np.log(lr_init) * (1 - t) + np.log(lr_final) * t)
+
+    for step in [0, 100, 15000, 30000, 50000]:
+        got = float(optim.expon_lr(step, 0.00016, 0.0000016, max_steps=30000))
+        want = ref(step, 0.00016, 0.0000016, 0.01, 30000)
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Gaussian state
+# ---------------------------------------------------------------------------
+
+
+def make_state(rng, n=50, cap=128, sh_degree=1):
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    cols = rng.uniform(size=(n, 3)).astype(np.float32)
+    return gm.create_from_points(pts, cols, sh_degree, cap)
+
+
+def test_create_from_points(rng):
+    st = make_state(rng)
+    assert int(gm.num_alive(st)) == 50
+    assert st.params.xyz.shape == (128, 3)
+    assert st.params.features_rest.shape == (128, 3, 3)  # deg1: 3 rest coeffs
+    op = np.asarray(gm.get_opacity(st.params))[:50]
+    np.testing.assert_allclose(op, 0.1, atol=1e-6)
+    # scales: log sqrt mean-3nn-dist — positive finite
+    sc = np.asarray(gm.get_scaling(st.params))[:50]
+    assert np.isfinite(sc).all() and (sc > 0).all()
+
+
+def test_densify_clone_and_split(rng):
+    st = make_state(rng, n=50, cap=256)
+    # Force: rows 0-4 hot with small scale (clone), rows 5-9 hot w/ big scale (split)
+    grads = np.zeros(256, np.float32)
+    grads[:10] = 1.0
+    scaling = np.array(st.params.scaling)
+    scaling[5:10] = np.log(10.0)  # huge → split
+    scaling[:5] = np.log(1e-4)  # tiny → clone
+    st = st._replace(
+        params=st.params._replace(scaling=jnp.asarray(scaling)),
+        xyz_grad_accum=jnp.asarray(grads),
+        denom=jnp.ones((256,), jnp.float32),
+    )
+    st2 = gm.densify_and_prune(
+        st, jax.random.PRNGKey(0),
+        max_grad=0.5, min_opacity=0.005, extent=1.0, max_screen_size=0.0,
+    )
+    # 50 alive + 5 clones + 10 split children - 5 split parents = 60
+    assert int(gm.num_alive(st2)) == 60
+    # split children have scale / 1.6
+    assert np.isfinite(np.asarray(st2.params.xyz)).all()
+
+
+def test_densify_prune_opacity(rng):
+    st = make_state(rng, n=50, cap=128)
+    op = np.array(st.params.opacity)
+    op[:10] = -10.0  # sigmoid ~ 0 → pruned
+    st = st._replace(params=st.params._replace(opacity=jnp.asarray(op)))
+    st2 = gm.densify_and_prune(
+        st, jax.random.PRNGKey(0),
+        max_grad=1e9, min_opacity=0.005, extent=1.0, max_screen_size=0.0,
+    )
+    assert int(gm.num_alive(st2)) == 40
+
+
+def test_reset_opacity(rng):
+    st = make_state(rng)
+    st2 = gm.reset_opacity(st)
+    op = np.asarray(gm.get_opacity(st2.params))[:50]
+    assert (op <= 0.01 + 1e-6).all()
+    assert float(jnp.sum(jnp.abs(st2.opt.mu.opacity))) == 0.0
+
+
+def test_capacity_overflow_drops(rng):
+    st = make_state(rng, n=50, cap=52)  # only 2 free slots
+    grads = np.zeros(52, np.float32)
+    grads[:10] = 1.0
+    st = st._replace(
+        xyz_grad_accum=jnp.asarray(grads), denom=jnp.ones((52,), jnp.float32)
+    )
+    st2 = gm.densify_and_prune(
+        st, jax.random.PRNGKey(0),
+        max_grad=0.5, min_opacity=0.005, extent=1e9, max_screen_size=0.0,
+    )
+    assert int(gm.num_alive(st2)) <= 52  # no corruption, writes dropped
+
+
+# ---------------------------------------------------------------------------
+# PLY round-trips
+# ---------------------------------------------------------------------------
+
+
+def test_scene_ply_roundtrip(tmp_path, rng):
+    n, r = 20, 15
+    arrs = dict(
+        xyz=rng.normal(size=(n, 3)).astype(np.float32),
+        features_dc=rng.normal(size=(n, 1, 3)).astype(np.float32),
+        features_rest=rng.normal(size=(n, r, 3)).astype(np.float32),
+        opacity=rng.normal(size=(n, 1)).astype(np.float32),
+        scaling=rng.normal(size=(n, 3)).astype(np.float32),
+        rotation=rng.normal(size=(n, 4)).astype(np.float32),
+    )
+    p = str(tmp_path / "pc.ply")
+    ply.save_gaussians_ply(p, **arrs)
+    back = ply.load_gaussians_ply(p)
+    for k in arrs:
+        np.testing.assert_allclose(back[k], arrs[k], atol=1e-7, err_msg=k)
+
+
+def test_feature_ply_roundtrip(tmp_path, rng):
+    n, d = 20, 32
+    arrs = dict(
+        xyz=rng.normal(size=(n, 3)).astype(np.float32),
+        features=rng.normal(size=(n, d)).astype(np.float32),
+        opacity=rng.normal(size=(n, 1)).astype(np.float32),
+        scaling=rng.normal(size=(n, 3)).astype(np.float32),
+        rotation=rng.normal(size=(n, 4)).astype(np.float32),
+    )
+    p = str(tmp_path / "fpc.ply")
+    ply.save_feature_gaussians_ply(p, **arrs)
+    back = ply.load_feature_gaussians_ply(p)
+    for k in arrs:
+        np.testing.assert_allclose(back[k], arrs[k], atol=1e-7, err_msg=k)
+
+
+def test_point_cloud_ply_roundtrip(tmp_path, rng):
+    pts = rng.normal(size=(30, 3)).astype(np.float32)
+    cols = rng.uniform(size=(30, 3)).astype(np.float32)
+    p = str(tmp_path / "points3d.ply")
+    ply.save_point_cloud_ply(p, pts, cols)
+    pts2, cols2 = ply.load_point_cloud_ply(p)
+    np.testing.assert_allclose(pts2, pts, atol=1e-6)
+    np.testing.assert_allclose(cols2, cols, atol=1e-5)
+
+
+def test_compact_and_from_dense_roundtrip(rng):
+    st = make_state(rng, n=30, cap=64)
+    dense = gm.compact(st)
+    st2 = gm.from_dense(
+        dense["xyz"], dense["features_dc"], dense["features_rest"],
+        dense["scaling"], dense["rotation"], dense["opacity"], capacity=100,
+    )
+    assert int(gm.num_alive(st2)) == 30
+    np.testing.assert_allclose(
+        np.asarray(st2.params.xyz)[:30], dense["xyz"], atol=1e-7
+    )

@@ -1,0 +1,90 @@
+"""End-to-end scene training test: synthetic multi-view scene, loss ↓, PSNR ↑."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from seganygaussians_tpu.models import gaussians as gm
+from seganygaussians_tpu.ops.camera import make_camera
+from seganygaussians_tpu.ops.rasterize import RasterConfig, rasterize
+from seganygaussians_tpu.train.scene_trainer import SceneTrainer
+
+
+class FakeCam:
+    def __init__(self, params, image):
+        self.params = params
+        self.image = image
+
+
+def _lookat(eye, target=np.zeros(3)):
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    up = np.array([0.0, -1.0, 0.0])
+    right = np.cross(up, fwd)
+    right /= np.linalg.norm(right)
+    up2 = np.cross(fwd, right)
+    Rwc = np.stack([right, up2, fwd], axis=0)
+    return Rwc.T, -Rwc @ eye  # reference stores R = w2c.T ("camera-to-world")
+
+
+@pytest.fixture(scope="module")
+def synthetic_scene():
+    """GT: a known Gaussian set rendered from 6 viewpoints; train from a
+    perturbed init. This is the fern-config stand-in (SURVEY.md §7 step 6)."""
+    rng = np.random.default_rng(3)
+    n = 40
+    gt_pts = rng.normal(scale=0.4, size=(n, 3)).astype(np.float32)
+    gt_cols = rng.uniform(0.1, 0.9, size=(n, 3)).astype(np.float32)
+    gt_state = gm.create_from_points(gt_pts, gt_cols, sh_degree=0, capacity=64)
+
+    cfg = RasterConfig(capacity=1 << 13, backend="xla")
+    cams = []
+    for i in range(6):
+        ang = 2 * np.pi * i / 6
+        eye = np.array([2.5 * np.cos(ang), 0.4, 2.5 * np.sin(ang)])
+        R, t = _lookat(eye)
+        params = make_camera(R, t, fovx=0.9, fovy=0.7, width=64, height=48)
+        out = rasterize(
+            gt_state.params.xyz,
+            gm.get_opacity(gt_state.params)[:, 0],
+            params,
+            shs=gm.get_shs(gt_state.params),
+            sh_degree=0,
+            scales=gm.get_scaling(gt_state.params),
+            rotations=gm.get_rotation(gt_state.params),
+            active_mask=gt_state.alive,
+            config=cfg,
+        )
+        cams.append(FakeCam(params, np.asarray(jnp.clip(out.color, 0, 1))))
+    return cams, cfg
+
+
+def test_scene_training_improves(synthetic_scene):
+    cams, cfg = synthetic_scene
+    rng = np.random.default_rng(7)
+    # init: GT points jittered + gray colors
+    pts = rng.normal(scale=0.45, size=(40, 3)).astype(np.float32)
+    cols = np.full((40, 3), 0.5, np.float32)
+    state = gm.create_from_points(pts, cols, sh_degree=0, capacity=64)
+
+    hyper = gm.TrainHyper(
+        densify_from_iter=30,
+        densify_until_iter=120,
+        densification_interval=40,
+        opacity_reset_interval=10_000,
+        position_lr_max_steps=150,
+    )
+    trainer = SceneTrainer(
+        state=state, cameras=cams, spatial_lr_scale=2.5,
+        hyper=hyper, sh_degree=0, config=cfg, seed=0,
+    )
+    psnr_before = trainer.psnr_on(cams)
+    trainer.run(iterations=150, log_every=50)
+    psnr_after = trainer.psnr_on(cams)
+
+    losses = [m["loss"] for m in trainer.metrics_history]
+    assert losses[-1] < losses[0]
+    assert psnr_after > psnr_before + 1.0, (psnr_before, psnr_after)
+    assert not any(m["overflow"] for m in trainer.metrics_history)
+    # densification ran and state stayed finite
+    assert np.isfinite(np.asarray(trainer.state.params.xyz)).all()
