@@ -8,6 +8,7 @@ A100 fwd+bwd stand-in so vs_baseline tracks the ≥3×-A100 north star.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -16,6 +17,12 @@ A100_FWD_BWD_MPIX_S = 130.0
 
 
 def main():
+    # keep stdout to exactly one JSON line: route jax's platform warnings
+    # (the axon-plugin banner logs to a stdout handler) through stderr
+    import logging
+
+    logging.basicConfig(stream=sys.stderr, force=True)
+
     import jax
     import jax.numpy as jnp
 
@@ -43,8 +50,26 @@ def main():
     cam = make_camera(
         np.eye(3), np.zeros(3), fovx=1.1, fovy=0.9, width=W, height=H
     )
+
+    # Size the static instance budget from the true tile-overlap count
+    # (the capacity-bucket / recompile-on-growth policy, SURVEY.md §7).
+    from seganygaussians_tpu.ops.projection import preprocess
+
+    prep = jax.jit(
+        lambda xyz, sc, rot: preprocess(
+            xyz, cam, scales=sc, rotations=rot, active_mask=state.alive
+        )
+    )(state.params.xyz, gm.get_scaling(state.params), gm.get_rotation(state.params))
+    total = int(np.asarray(jnp.sum(prep.tiles_touched)))
+    while cap < total:
+        cap *= 2
     cfg = RasterConfig(capacity=cap, backend="auto")
     bg = jnp.zeros(3)
+    print(
+        f"# gaussians={n} instances={total} capacity={cap}",
+        file=sys.stderr,
+        flush=True,
+    )
 
     p = state.params
 
