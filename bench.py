@@ -94,14 +94,16 @@ def main():
 
     step = jax.jit(fwd_bwd)
     val, overflow, g = step(p)  # compile + warmup
-    jax.block_until_ready(g)
+    # scalar readback: block_until_ready is unreliable through remote-TPU
+    # relays, but a host transfer cannot complete before the computation.
+    float(jnp.sum(g))
     assert not bool(overflow), "instance capacity overflow — raise cap"
 
     iters = 20 if on_tpu else 3
     t0 = time.perf_counter()
     for _ in range(iters):
         val, overflow, g = step(p)
-    jax.block_until_ready(g)
+    float(jnp.sum(g))
     dt = (time.perf_counter() - t0) / iters
 
     mpix_s = (W * H / dt) / 1e6

@@ -490,14 +490,21 @@ def _blend_bwd(grid_x, grid_y, tile_size, res, g):
     )  # (F, M_pad)
 
     m = gauss_id.shape[0]
-    dinst = dinst[:, :m].T  # (M, F)
-    # Deterministic instance→Gaussian gradient reduction (XLA segment-sum).
-    d_means2d = jax.ops.segment_sum(dinst[:, 0:2], gauss_id, num_segments=n)
-    d_conics = jax.ops.segment_sum(dinst[:, 2:5], gauss_id, num_segments=n)
-    d_opac = jax.ops.segment_sum(dinst[:, 5], gauss_id, num_segments=n)
-    d_colors = jax.ops.segment_sum(
-        dinst[:, COLOR_OFFSET : COLOR_OFFSET + c], gauss_id, num_segments=n
-    )
+    # Deterministic instance→Gaussian gradient reduction (XLA segment-sum),
+    # done row-by-row on the native (F, M) layout: transposing the (F, 4M)
+    # buffer first is a cross-lane relayout that costs ~70 ms on TPU, while
+    # per-row (M,) segment-sums are sub-millisecond.
+    def seg_rows(lo, hi):
+        cols = [
+            jax.ops.segment_sum(dinst[r, :m], gauss_id, num_segments=n)
+            for r in range(lo, hi)
+        ]
+        return jnp.stack(cols, axis=-1)
+
+    d_means2d = seg_rows(0, 2)
+    d_conics = seg_rows(2, 5)
+    d_opac = seg_rows(5, 6)[:, 0]
+    d_colors = seg_rows(COLOR_OFFSET, COLOR_OFFSET + c)
 
     # d bg = Σ_pixels g ⊙ T_end.
     ft = final_t.reshape(num_tiles, p)
