@@ -490,21 +490,38 @@ def _blend_bwd(grid_x, grid_y, tile_size, res, g):
     )  # (F, M_pad)
 
     m = gauss_id.shape[0]
-    # Deterministic instance→Gaussian gradient reduction (XLA segment-sum),
-    # done row-by-row on the native (F, M) layout: transposing the (F, 4M)
-    # buffer first is a cross-lane relayout that costs ~70 ms on TPU, while
-    # per-row (M,) segment-sums are sub-millisecond.
-    def seg_rows(lo, hi):
-        cols = [
-            jax.ops.segment_sum(dinst[r, :m], gauss_id, num_segments=n)
-            for r in range(lo, hi)
-        ]
-        return jnp.stack(cols, axis=-1)
+    # Deterministic instance→Gaussian gradient reduction WITHOUT scatter-add:
+    # XLA scatter (segment_sum) serializes on TPU (~35 ms/row at 4M
+    # instances).  Instead exploit the binning structure: a stable sort of
+    # the tile-sorted instances by Gaussian rank recovers *slot order*, in
+    # which each Gaussian's instances are contiguous (`binning.py` step 2),
+    # so per-Gaussian sums are an exclusive-cumsum difference at segment
+    # boundaries — sort ≈ 38 ms + cumsum ≈ 11 ms vs ≈ 330 ms of scatters.
+    rows = list(range(6)) + list(range(COLOR_OFFSET, COLOR_OFFSET + c))
+    total = tile_starts[-1]
+    key = jnp.where(
+        jnp.arange(m, dtype=jnp.int32) < total, gauss_id, jnp.int32(n)
+    )
+    if dinst.shape[1] != m:
+        dinst = dinst[:, :m]
+    sorted_ = lax.sort(
+        (key,) + tuple(dinst[r] for r in rows), num_keys=1, is_stable=True
+    )
+    skey = sorted_[0]
+    bound = jnp.searchsorted(skey, jnp.arange(n + 1, dtype=jnp.int32)).astype(
+        jnp.int32
+    )
+    zero1 = jnp.zeros((1,), jnp.float32)
 
-    d_means2d = seg_rows(0, 2)
-    d_conics = seg_rows(2, 5)
-    d_opac = seg_rows(5, 6)[:, 0]
-    d_colors = seg_rows(COLOR_OFFSET, COLOR_OFFSET + c)
+    def seg(col):
+        csum = jnp.concatenate([zero1, jnp.cumsum(col)])
+        return csum[bound[1:]] - csum[bound[:-1]]  # (n,)
+
+    cols = [seg(sorted_[1 + i]) for i in range(len(rows))]
+    d_means2d = jnp.stack(cols[0:2], axis=-1)
+    d_conics = jnp.stack(cols[2:5], axis=-1)
+    d_opac = cols[5]
+    d_colors = jnp.stack(cols[6 : 6 + c], axis=-1)
 
     # d bg = Σ_pixels g ⊙ T_end.
     ft = final_t.reshape(num_tiles, p)
