@@ -3,37 +3,62 @@
 TPU-first re-design of the CUDA binning stage
 (`rasterizer_impl.cu:70-138, 279-308`).  CUDA duplicates each Gaussian once
 per touched tile with a scatter and radix-sorts 64-bit (tile|depth) keys.  On
-TPU, random gathers/scatters of instance-sized arrays are the expensive
-primitive (XLA lowers them to serialized element copies), so the design
-avoids them entirely:
+TPU, random-order gathers/scatters of instance-sized arrays are the expensive
+primitive (measured 15-30x slower than sorts at M ~ 4M,
+tools/bench_primitives.py), so the design avoids them:
 
   1. Gaussians are depth-sorted *first* (an N-sized sort) so instance slots
      enumerated in Gaussian order are already depth-ordered.
-  2. Instance expansion is computed with *exact integer* scatter-add +
-     cumulative sums: a prefix-sum of ``tiles_touched`` gives per-Gaussian
-     slot offsets; scattering +1 (and integer field deltas) at those offsets
-     and cumsumming yields, for every slot, its owning Gaussian and tile rect
-     — no per-slot gather, no searchsorted, and no float error.
-  3. One single-key *stable* sort by tile id then produces (tile, depth)
-     order: stability preserves the depth-major slot order within each tile,
-     replacing the CUDA 64-bit radix sort with a cheaper 1-key sort.
+  2. Instance expansion: a prefix-sum of ``tiles_touched`` gives per-Gaussian
+     slot offsets; ONE exact integer scatter-add + cumulative sum expands the
+     owning depth rank to every slot; the remaining per-Gaussian fields
+     (offset + bit-packed tile rect) ride a single 2-column row gather whose
+     indices are ascending — the memory-coherent gather fast path.
+  3. One *single-array* sort of a bit-packed int32 key (tile ≪ rank_bits |
+     rank) produces (tile, depth) order — instance pairs are unique, so no
+     stability or payload columns are needed (falls back to a 2-array stable
+     sort when tile·rank bits exceed 31).
   4. Per-tile [start, end) ranges come from a small searchsorted over the
-     sorted tile ids (T+1 queries), replacing ``identifyTileRanges``.
+     sorted keys (T+1 queries), replacing ``identifyTileRanges``.
 
 Shapes are static: ``capacity`` is a compile-time instance budget; slots past
-the true instance count get a sentinel tile id that sorts to the tail and an
+the true instance count get a sentinel key that sorts to the tail and an
 overflow flag is returned so the host can grow the budget and recompile (the
 XLA analogue of the CUDA resizable-buffer trick, `rasterize_points.cu:27-33`).
+Use :func:`suggest_capacity` for tight 1.25x-step buckets — every binning,
+packing and gradient-reduction cost scales linearly with capacity.
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
+
 import jax.numpy as jnp
 from jax import lax
 
 from seganygaussians_tpu.ops.projection import Preprocessed
+
+_BUCKET_STEPS = (1.0, 1.25, 1.5, 1.75)
+
+
+def suggest_capacity(total: int, headroom: float = 1.15, multiple: int = 256) -> int:
+    """Smallest capacity bucket holding ``total`` instances with headroom.
+
+    Buckets step by 1.25x (2^k · {1, 1.25, 1.5, 1.75}) instead of doubling —
+    the XLA binning/pack/epilogue stages all scale linearly with capacity, so
+    loose pow2 buckets directly cost wall-clock.
+    """
+    need = max(int(total * headroom), multiple)
+    k = int(np.floor(np.log2(need)))
+    for kk in (k, k + 1):
+        base = 1 << kk
+        for s in _BUCKET_STEPS:
+            cap = int(base * s)
+            if cap >= need:
+                return ((cap + multiple - 1) // multiple) * multiple
+    return ((need + multiple - 1) // multiple) * multiple  # unreachable
 
 
 class Binned(NamedTuple):
@@ -70,36 +95,59 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int, capacity: int) -
     rect_min = prep.rect_min[depth_perm]
     rect_max = prep.rect_max[depth_perm]
 
-    # 2. Exact integer expansion.
+    # 2. Expansion: one exact integer cumsum pass for the owning rank, one
+    # ascending row gather for the per-Gaussian fields.
     cum = jnp.cumsum(tiles)
     total = cum[-1]
     offsets = cum - tiles  # exclusive prefix (first element 0)
 
     gauss_rank = _expand_int(jnp.arange(n, dtype=jnp.int32), offsets, capacity)
-    off_slot = _expand_int(offsets, offsets, capacity)
-    x0_slot = _expand_int(rect_min[:, 0], offsets, capacity)
-    y0_slot = _expand_int(rect_min[:, 1], offsets, capacity)
-    w_slot = _expand_int(rect_max[:, 0] - rect_min[:, 0], offsets, capacity)
-    w_slot = jnp.maximum(w_slot, 1)
+    gauss_rank = jnp.clip(gauss_rank, 0, n - 1)
+
+    w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
+    packed_rect = rect_min[:, 0] | (rect_min[:, 1] << 10) | (w << 20)
+    table = jnp.stack([offsets, packed_rect], axis=-1)  # (N, 2) int32
+    per_slot = table[gauss_rank]  # ascending-index gather: coherent
+    off_slot = per_slot[:, 0]
+    pk = per_slot[:, 1]
+    x0 = pk & 1023
+    y0 = (pk >> 10) & 1023
+    ww = jnp.maximum(pk >> 20, 1)
 
     slots = jnp.arange(capacity, dtype=jnp.int32)
     rank = slots - off_slot
-    tx = x0_slot + rank % w_slot
-    ty = y0_slot + rank // w_slot
+    tx = x0 + rank % ww
+    ty = y0 + rank // ww
     tile = ty * grid_x + tx
 
     in_range = slots < total
     tile = jnp.clip(jnp.where(in_range, tile, num_tiles), 0, num_tiles).astype(jnp.int32)
 
-    # 3. Single-key stable sort by tile: within a tile, slots keep depth order.
-    tile_s, gauss_s = lax.sort(
-        (tile, gauss_rank.astype(jnp.int32)), num_keys=1, is_stable=True
-    )
-
-    # 4. Tile ranges.
-    tile_starts = jnp.searchsorted(
-        tile_s, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
+    # 3+4. Sort + tile ranges.
+    rank_bits = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    tile_bits = int(np.ceil(np.log2(num_tiles + 2)))
+    if rank_bits + tile_bits <= 31:
+        # Packed single-array sort: (tile, rank) instance pairs are unique.
+        key = jnp.where(
+            in_range & (tile < num_tiles),
+            (tile << rank_bits) | gauss_rank,
+            jnp.int32(num_tiles << rank_bits),
+        )
+        (key_s,) = lax.sort((key,), num_keys=1, is_stable=False)
+        tile_starts = jnp.searchsorted(
+            key_s,
+            (jnp.arange(num_tiles + 1, dtype=jnp.int32) << rank_bits),
+            side="left",
+        ).astype(jnp.int32)
+        gauss_s = key_s & jnp.int32((1 << rank_bits) - 1)
+        tile_s = key_s >> rank_bits
+    else:
+        tile_s, gauss_s = lax.sort(
+            (tile, gauss_rank.astype(jnp.int32)), num_keys=1, is_stable=True
+        )
+        tile_starts = jnp.searchsorted(
+            tile_s, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
 
     return Binned(
         gauss_id=gauss_s,

@@ -41,7 +41,7 @@ ALPHA_MAX = 0.99  # clamp (`forward.cu:339`)
 class BlendOutput(NamedTuple):
     tiles: jnp.ndarray  # (T, P, C) composited tile pixels (incl. bg term)
     final_t: jnp.ndarray  # (T, P) remaining transmittance
-    n_contrib: jnp.ndarray  # (T, P) int32 1-based rank of last contributor
+    n_contrib: jnp.ndarray  # (T, P) int32 count of included contributions
 
 
 def instance_alphas(
@@ -127,14 +127,13 @@ def blend(
 
     tiles = tiles + final_t[:, :, None] * bg[None, None, :]
 
-    # n_contrib: 1-based rank (counting skipped instances too) of the last
-    # included contribution (`forward.cu:326,365`).
-    rank = (jnp.arange(m, dtype=jnp.int32) - seg_start + 1)[:, None]  # (M, P)
-    rank = jnp.where(include, rank, 0)
-    n_contrib = jax.ops.segment_max(
-        rank, seg, num_segments=num_tiles + 1
+    # n_contrib: number of *included* contributions per pixel.  (CUDA stores
+    # the rank-with-skips of the last contributor, `forward.cu:326,365` — an
+    # internal buffer never exposed to Python; we count includes instead,
+    # which is invariant under the exact-footprint instance culling.)
+    n_contrib = jax.ops.segment_sum(
+        include.astype(jnp.int32), seg, num_segments=num_tiles + 1
     )[:-1]
-    n_contrib = jnp.maximum(n_contrib, 0).astype(jnp.int32)
 
     return BlendOutput(tiles=tiles, final_t=final_t, n_contrib=n_contrib)
 

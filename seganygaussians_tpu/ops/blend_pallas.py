@@ -1,30 +1,34 @@
-"""Pallas TPU kernels for tile alpha-blending (forward + backward).
+"""Pallas TPU kernels for tile alpha-blending (forward + backward), round 2.
 
 TPU-first re-design of the CUDA render kernels
 (`cuda_rasterizer/forward.cu:261-374`, `backward.cu:399-557`):
 
-* Grid iterates tiles sequentially; each tile streams K-instance slabs of
-  packed per-instance data, DMA'd from HBM in a field-major (F, M) layout so
-  every chunk transfer is a lane-aligned slice.  Compute layout is
-  pixels-on-sublanes × instances-on-lanes: per-instance scalars are (1, K)
-  rows that broadcast for free, per-instance gradient reductions are natural
-  sublane sums.
-* The front-to-back sequential march becomes, per chunk, an *exclusive
-  cumulative sum of log(1−α)* along the instance axis computed as a
-  strictly-triangular matmul on the MXU, followed by the color accumulation
-  matmul  acc += W·colorsᵀ — the FLOP-heavy part of blending rides the
-  systolic array, the α math rides the VPU.
-* Termination parity with CUDA (`forward.cu:346-351`): two transmittance
-  carries — ``t_all`` multiplies every contributing α and drives the include
-  test (T·(1−α) ≥ 1e-4 defines a prefix), ``t_incl`` multiplies only
-  *included* α and is the running T the CUDA kernel keeps (→ final_T).
-* Backward avoids atomics entirely: it re-marches front-to-back
-  (rematerializing α), uses the suffix identity
-  Σ_{j>i} u_j = U_total − U_prefix_i  with  U_total = g·(out − T_end·bg),
-  reduces per-instance gradients over the 256 pixels in-kernel, and
-  accumulates them into a per-instance HBM buffer with read-modify-write
-  (grid steps are sequential ⇒ deterministic); a final XLA segment-sum maps
-  instance gradients to Gaussians.
+* Grid iterates tiles sequentially; each tile streams CHUNK-instance slabs of
+  packed per-instance data from HBM in a field-major (F, M) layout so every
+  transfer is a lane-aligned slice.  Compute layout is pixels-on-sublanes ×
+  instances-on-lanes: per-instance scalars are (1, K) rows that broadcast for
+  free, per-instance gradient reductions are natural sublane sums.
+* **Double-buffered DMA**: the slab for chunk i+1 is in flight while chunk i
+  computes (guide pattern "Double Buffering"); the loop is a `while_loop`
+  with a **saturation early-exit** — once every pixel's transmittance falls
+  below 1e-4 no later instance can contribute (the TPU analogue of CUDA's
+  `__syncthreads_count(done)` ballot, `forward.cu:306-322`).
+* The front-to-back march becomes, per chunk, an exclusive cumulative sum of
+  log(1−α) along the instance axis via a strictly-triangular matmul on the
+  MXU, then the color accumulation matmul acc += W·colorsᵀ.
+* Termination parity with CUDA (`forward.cu:346-351`): ``t_all`` multiplies
+  every contributing α and drives the include test (T·(1−α) ≥ 1e-4 defines a
+  prefix), ``t_incl`` multiplies only *included* α (→ final_T).
+* Backward avoids atomics AND read-modify-write: every instance belongs to
+  exactly one tile, so each 256-instance gradient chunk has a single writer
+  except the chunk straddling two tiles' ranges.  That boundary chunk is
+  **carried in VMEM scratch across sequential grid steps** (tile ranges are
+  contiguous: tile t+1 starts where t ends) and written once, merged.
+  Chunks past the saturation point are never written — the output buffer is
+  zero-initialized via input/output aliasing.
+* A final XLA sort+segment-cumsum maps per-instance gradients to Gaussians
+  (gathers/scatters with random index order are 15-30x slower than sort on
+  this hardware — measured in tools/bench_primitives.py).
 
 The public ``blend`` matches ``blend.py``'s signature and carries a
 custom_vjp wired to the backward kernel.
@@ -49,6 +53,10 @@ COLOR_OFFSET = 8
 CHUNK = 256  # instances per inner step (lane axis; multiple of 128)
 
 
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
 def _pad_channels(c: int) -> int:
     return max(8, ((c + 7) // 8) * 8)
 
@@ -58,7 +66,9 @@ def _pack_instances(gauss_id, means2d, conics, opacities, colors, m_pad):
 
     Instance-sized gathers are the expensive XLA-on-TPU primitive, so the
     per-Gaussian fields are packed into ONE (N, F) matrix first (cheap N-sized
-    ops) and expanded with a single row-gather."""
+    ops) and expanded with a single row-gather.  ``gauss_id`` is
+    piecewise-ascending (depth ranks within each tile), which keeps the
+    gather memory-coherent (~15x faster than random order, measured)."""
     c = colors.shape[-1]
     c_pad = _pad_channels(c)
     n = means2d.shape[0]
@@ -131,8 +141,8 @@ def _fwd_kernel(
     tiles_ref,  # out (1, P, C_pad)
     final_t_ref,  # out (1, P, 1)
     n_contrib_ref,  # out (1, P, 1) int32
-    slab_ref,  # scratch (F, K) VMEM
-    copy_sem,
+    slab_ref,  # scratch (2, F, K) VMEM — double buffered
+    copy_sem,  # DMA sems (2,)
     *,
     grid_x: int,
     tile_size: int,
@@ -150,15 +160,30 @@ def _fwd_kernel(
     px, py = _pixel_coords(t, grid_x, tile_size, p)
     tri = _tri_excl(k)
 
-    def body(ci, carry):
-        t_all, t_incl, contrib, acc = carry
-        row0 = ci * k
-        copy = pltpu.make_async_copy(
-            inst_ref.at[:, pl.ds(row0, k)], slab_ref, copy_sem
+    def dma(ci):
+        slot = lax.rem(ci, 2)
+        return pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(ci * k, k)], slab_ref.at[slot], copy_sem.at[slot]
         )
-        copy.start()
-        copy.wait()
-        slab = slab_ref[:, :]
+
+    @pl.when(c0 < c1)
+    def _():
+        dma(c0).start()
+
+    def cond(carry):
+        ci, t_all, *_ = carry
+        return (ci < c1) & (jnp.max(t_all) >= T_EPS)
+
+    def body(carry):
+        ci, t_all, t_incl, contrib, acc = carry
+        # Prefetch the next slab while this one computes.
+        @pl.when(ci + 1 < c1)
+        def _():
+            dma(ci + 1).start()
+
+        dma(ci).wait()
+        slab = slab_ref[lax.rem(ci, 2)]
+        row0 = ci * k
 
         alpha, idx, _, _, _ = _chunk_alpha(slab, px, py, row0, start, end, k)
 
@@ -184,18 +209,23 @@ def _fwd_kernel(
         t_all = t_all * jnp.exp(jnp.sum(log1m, axis=1, keepdims=True))
         t_incl = t_incl * jnp.exp(jnp.sum(inc_log1m, axis=1, keepdims=True))
 
-        rank = (idx - start + 1).astype(jnp.int32)  # (1, K)
-        rank_b = jnp.where(include, rank, 0)  # (P, K)
-        contrib = jnp.maximum(contrib, jnp.max(rank_b, axis=1, keepdims=True))
-        return t_all, t_incl, contrib, acc
+        # n_contrib = count of included contributions (see blend.py).
+        contrib = contrib + jnp.sum(include.astype(jnp.int32), axis=1, keepdims=True)
+        return ci + 1, t_all, t_incl, contrib, acc
 
     init = (
+        c0,
         jnp.ones((p, 1), jnp.float32),
         jnp.ones((p, 1), jnp.float32),
         jnp.zeros((p, 1), jnp.int32),
         jnp.zeros((p, c_pad), jnp.float32),
     )
-    t_all, t_incl, contrib, acc = lax.fori_loop(c0, c1, body, init)
+    ci_end, t_all, t_incl, contrib, acc = lax.while_loop(cond, body, init)
+
+    # Drain the speculative prefetch left in flight by an early exit.
+    @pl.when((ci_end < c1) & (c0 < c1))
+    def _():
+        dma(ci_end).wait()
 
     tiles_ref[0, :, :] = acc + t_incl * bg_ref[0, :].reshape(1, c_pad)
     final_t_ref[0, :, :] = t_incl
@@ -221,8 +251,8 @@ def _fwd_call(inst, tile_starts, bg_pad, *, num_tiles, grid_x, tile_size, c_pad)
             pl.BlockSpec((1, p, 1), lambda t, s: (t, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((f, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, f, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -233,13 +263,18 @@ def _fwd_call(inst, tile_starts, bg_pad, *, num_tiles, grid_x, tile_size, c_pad)
             jax.ShapeDtypeStruct((num_tiles, p, 1), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles, p, 1), jnp.int32),
         ],
-        interpret=jax.default_backend() != "tpu",
+        interpret=_interpret(),
     )(tile_starts, inst, bg_pad)
 
 
 # ---------------------------------------------------------------------------
 # Backward kernel
 # ---------------------------------------------------------------------------
+
+# SMEM state slots (persist across sequential grid steps).
+_PENDING_CI = 0  # chunk index withheld in the pending buffer, or -1
+_WR_BUSY0 = 1  # write-DMA outstanding flag for gacc slot 0
+_WR_BUSY1 = 2  # write-DMA outstanding flag for gacc slot 1
 
 
 def _bwd_kernel(
@@ -251,11 +286,13 @@ def _bwd_kernel(
     final_t_ref,  # (1, P, 1) forward final_T (residual)
     bg_ref,  # (1, C_pad)
     dinst_in_ref,  # (F, M) HBM — zero-init, aliased to output
-    dinst_ref,  # out (F, M) HBM — RMW-accumulated per-instance grads
-    slab_ref,  # scratch (F, K)
-    gslab_ref,  # scratch (F, K)
-    copy_sem,
-    g_sem,
+    dinst_ref,  # out (F, M) HBM — single-writer per chunk
+    slab_ref,  # scratch (2, F, K) — double-buffered input slabs
+    gacc_ref,  # scratch (2, F, K) — double-buffered gradient output slabs
+    pending_ref,  # scratch (F, K) — boundary chunk carried across tiles
+    state_ref,  # scratch SMEM (4,) int32
+    copy_sem,  # DMA sems (2,)
+    wr_sem,  # DMA sems (2,)
     *,
     grid_x: int,
     tile_size: int,
@@ -263,13 +300,24 @@ def _bwd_kernel(
 ):
     del dinst_in_ref  # aliased with dinst_ref
     t = pl.program_id(0)
+    num_tiles = pl.num_programs(0)
     p = tile_size * tile_size
     k = CHUNK
 
+    @pl.when(t == 0)
+    def _():
+        state_ref[_PENDING_CI] = -1
+        state_ref[_WR_BUSY0] = 0
+        state_ref[_WR_BUSY1] = 0
+
     start = starts_ref[t]
     end = starts_ref[t + 1]
+    next_start = starts_ref[jnp.minimum(t + 1, num_tiles)]
     c0 = start // k
     c1 = lax.div(end + k - 1, k)
+    # The last chunk is shared with a later tile iff the range boundary is not
+    # chunk-aligned (tile ranges are contiguous: starts[t+1] == end).
+    last_shared = (t < num_tiles - 1) & (next_start < c1 * k) & (next_start > (c1 - 1) * k)
 
     px, py = _pixel_coords(t, grid_x, tile_size, p)
     tri = _tri_excl(k)
@@ -287,13 +335,50 @@ def _bwd_kernel(
     # Terms multiplying −1/(1−α_i): background + final_T cotangent.
     tail_const = (g_dot_bg + g_t) * t_end  # (P, 1)
 
-    def body(ci, carry):
-        t_all, u_prefix = carry
+    def dma(ci):
+        slot = lax.rem(ci, 2)
+        return pltpu.make_async_copy(
+            inst_ref.at[:, pl.ds(ci * k, k)], slab_ref.at[slot], copy_sem.at[slot]
+        )
+
+    def wr_dma(slot, ci):
+        return pltpu.make_async_copy(
+            gacc_ref.at[slot], dinst_ref.at[:, pl.ds(ci * k, k)], wr_sem.at[slot]
+        )
+
+    def write_chunk(ci, grad_rows):
+        """Single write of a chunk's gradients, double-buffered."""
+        slot = lax.rem(ci, 2)
+
+        @pl.when(state_ref[_WR_BUSY0 + slot] == 1)
+        def _():
+            # Free the slot: wait for the write issued 2 chunks ago.
+            pltpu.make_async_copy(
+                gacc_ref.at[slot], gacc_ref.at[slot], wr_sem.at[slot]
+            ).wait()
+
+        gacc_ref[slot] = grad_rows
+        wr_dma(slot, ci).start()
+        state_ref[_WR_BUSY0 + slot] = 1
+
+    @pl.when(c0 < c1)
+    def _():
+        dma(c0).start()
+
+    def cond(carry):
+        ci, t_all, _ = carry
+        return (ci < c1) & (jnp.max(t_all) >= T_EPS)
+
+    def body(carry):
+        ci, t_all, u_prefix = carry
+
+        @pl.when(ci + 1 < c1)
+        def _():
+            dma(ci + 1).start()
+
+        dma(ci).wait()
+        slab = slab_ref[lax.rem(ci, 2)]
         row0 = ci * k
-        copy = pltpu.make_async_copy(inst_ref.at[:, pl.ds(row0, k)], slab_ref, copy_sem)
-        copy.start()
-        copy.wait()
-        slab = slab_ref[:, :]
         colors = slab[COLOR_OFFSET : COLOR_OFFSET + c_pad, :]  # (C_pad, K)
         opa = slab[5:6, :]
         ca = slab[2:3, :]
@@ -361,23 +446,54 @@ def _bwd_kernel(
             axis=0,
         )  # (F, K)
 
-        # Read-modify-write accumulate into the per-instance gradient buffer
-        # (boundary chunks are shared between tiles; the grid is sequential so
-        # RMW is race-free and deterministic).
-        read = pltpu.make_async_copy(dinst_ref.at[:, pl.ds(row0, k)], gslab_ref, g_sem)
-        read.start()
-        read.wait()
-        gslab_ref[:, :] = gslab_ref[:, :] + grad_rows
-        write = pltpu.make_async_copy(gslab_ref, dinst_ref.at[:, pl.ds(row0, k)], g_sem)
-        write.start()
-        write.wait()
+        # Merge the boundary partial carried from the previous tile (tile
+        # ranges are contiguous, so a live pending chunk is always this
+        # tile's first chunk).
+        pending_ci = state_ref[_PENDING_CI]
+        grad_rows = jnp.where(ci == pending_ci, grad_rows + pending_ref[:, :], grad_rows)
+
+        @pl.when(ci == pending_ci)
+        def _():
+            state_ref[_PENDING_CI] = -1
+
+        withhold = (ci == c1 - 1) & last_shared
+
+        @pl.when(withhold)
+        def _():
+            pending_ref[:, :] = grad_rows
+            state_ref[_PENDING_CI] = ci
+
+        @pl.when(jnp.logical_not(withhold))
+        def _():
+            write_chunk(ci, grad_rows)
 
         t_all = t_all * jnp.exp(jnp.sum(log1m, axis=1, keepdims=True))
         u_prefix = u_prefix + jnp.sum(u, axis=1, keepdims=True)
-        return t_all, u_prefix
+        return ci + 1, t_all, u_prefix
 
-    init = (jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32))
-    lax.fori_loop(c0, c1, body, init)
+    init = (c0, jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32))
+    ci_end, _, _ = lax.while_loop(cond, body, init)
+
+    @pl.when((ci_end < c1) & (c0 < c1))
+    def _():
+        dma(ci_end).wait()
+
+    # Final tile: flush the pending boundary chunk and drain write DMAs.
+    @pl.when(t == num_tiles - 1)
+    def _():
+        pending_ci = state_ref[_PENDING_CI]
+
+        @pl.when(pending_ci >= 0)
+        def _():
+            write_chunk(pending_ci, pending_ref[:, :])
+
+        @pl.when(state_ref[_WR_BUSY0] == 1)
+        def _():
+            pltpu.make_async_copy(gacc_ref.at[0], gacc_ref.at[0], wr_sem.at[0]).wait()
+
+        @pl.when(state_ref[_WR_BUSY1] == 1)
+        def _():
+            pltpu.make_async_copy(gacc_ref.at[1], gacc_ref.at[1], wr_sem.at[1]).wait()
 
 
 def _bwd_call(
@@ -402,23 +518,26 @@ def _bwd_call(
             pl.BlockSpec(memory_space=pl.ANY),  # dinst init (aliased)
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # dinst (RMW)
+            pl.BlockSpec(memory_space=pl.ANY),  # dinst
         ],
         scratch_shapes=[
+            pltpu.VMEM((2, f, CHUNK), jnp.float32),
+            pltpu.VMEM((2, f, CHUNK), jnp.float32),
             pltpu.VMEM((f, CHUNK), jnp.float32),
-            pltpu.VMEM((f, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     # The dinst-init zeros are overall input index 7 (aliasing indices count
-    # the scalar-prefetch arg); aliasing to output 0 enables in-place RMW.
+    # the scalar-prefetch arg); aliasing to output 0 keeps unwritten
+    # (post-saturation) chunks zero.
     dinst = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((f, m), jnp.float32)],
         input_output_aliases={7: 0},
-        interpret=jax.default_backend() != "tpu",
+        interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(tile_starts, inst, g_tiles, g_final_t, out_tiles, final_t, bg_pad,
       jnp.zeros((f, m), jnp.float32))
@@ -491,12 +610,11 @@ def _blend_bwd(grid_x, grid_y, tile_size, res, g):
 
     m = gauss_id.shape[0]
     # Deterministic instance→Gaussian gradient reduction WITHOUT scatter-add:
-    # XLA scatter (segment_sum) serializes on TPU (~35 ms/row at 4M
-    # instances).  Instead exploit the binning structure: a stable sort of
-    # the tile-sorted instances by Gaussian rank recovers *slot order*, in
-    # which each Gaussian's instances are contiguous (`binning.py` step 2),
-    # so per-Gaussian sums are an exclusive-cumsum difference at segment
-    # boundaries — sort ≈ 38 ms + cumsum ≈ 11 ms vs ≈ 330 ms of scatters.
+    # XLA scatter (segment_sum) serializes on TPU.  A stable sort of the
+    # tile-sorted instances by Gaussian rank recovers *slot order*, in which
+    # each Gaussian's instances are contiguous, so per-Gaussian sums are an
+    # exclusive-cumsum difference at segment boundaries (measured: sort+cumsum
+    # is ~3x faster than scatter-based reductions at M ~ 4M).
     rows = list(range(6)) + list(range(COLOR_OFFSET, COLOR_OFFSET + c))
     total = tile_starts[-1]
     key = jnp.where(
@@ -511,17 +629,16 @@ def _blend_bwd(grid_x, grid_y, tile_size, res, g):
     bound = jnp.searchsorted(skey, jnp.arange(n + 1, dtype=jnp.int32)).astype(
         jnp.int32
     )
-    zero1 = jnp.zeros((1,), jnp.float32)
+    stacked = jnp.stack(sorted_[1:], axis=0)  # (F', M)
+    csum = jnp.concatenate(
+        [jnp.zeros((len(rows), 1), jnp.float32), jnp.cumsum(stacked, axis=1)], axis=1
+    )
+    seg = csum[:, bound[1:]] - csum[:, bound[:-1]]  # (F', n)
 
-    def seg(col):
-        csum = jnp.concatenate([zero1, jnp.cumsum(col)])
-        return csum[bound[1:]] - csum[bound[:-1]]  # (n,)
-
-    cols = [seg(sorted_[1 + i]) for i in range(len(rows))]
-    d_means2d = jnp.stack(cols[0:2], axis=-1)
-    d_conics = jnp.stack(cols[2:5], axis=-1)
-    d_opac = cols[5]
-    d_colors = jnp.stack(cols[6 : 6 + c], axis=-1)
+    d_means2d = seg[0:2].T
+    d_conics = seg[2:5].T
+    d_opac = seg[5]
+    d_colors = seg[6 : 6 + c].T
 
     # d bg = Σ_pixels g ⊙ T_end.
     ft = final_t.reshape(num_tiles, p)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from seganygaussians_tpu.ops.camera import CameraParams
@@ -126,11 +127,23 @@ def preprocess(
     scale_modifier: float = 1.0,
     tile_size: int = 16,
     active_mask: Optional[jnp.ndarray] = None,
+    opacities: Optional[jnp.ndarray] = None,
 ) -> Preprocessed:
     """Vectorized projection + culling + tile-rect stage.
 
     ``active_mask`` (N,) bool culls rows entirely (used for the dead slots of
     fixed-capacity Gaussian buffers — they produce no tile instances at all).
+
+    ``opacities`` (N,) activated opacities enable *exact* footprint culling:
+    the blend kernel skips any instance with α = opa·exp(power) < 1/255
+    (CUDA parity, `forward.cu:343-351`), so the contributing footprint is the
+    ellipse power ≥ ln(1/(255·opa)), whose axis-aligned bounding box is
+    |dx| ≤ e·√cov_xx, |dy| ≤ e·√cov_yy with e = √(2·ln(255·opa)).  This is
+    strictly inside the reference's 3σ circle (`forward.cu:229-232`) and
+    produces bit-identical rendered output and gradients with far fewer tile
+    instances (every instance-sized cost scales with that count).  The
+    reported ``radii`` keep the reference's 3σ semantics for densification
+    parity.
     """
     if cov3d_precomp is None:
         assert scales is not None and rotations is not None
@@ -163,27 +176,54 @@ def preprocess(
     grid_x = (camera.width + tile_size - 1) // tile_size
     grid_y = (camera.height + tile_size - 1) // tile_size
 
+    if opacities is None:
+        # Reference 3σ circle rect (`auxiliary.h:46-57`).
+        rad_x = radius_f
+        rad_y = radius_f
+        opa_visible = True
+    else:
+        # Exact per-axis extent of the α ≥ 1/255 footprint (+1px fp margin).
+        opa = jax.lax.stop_gradient(opacities).reshape(-1)  # structural, like radii
+        opa_visible = opa * 255.0 > 1.0
+        e = jnp.sqrt(jnp.maximum(2.0 * jnp.log(jnp.maximum(opa, 1e-12) * 255.0), 0.0))
+        rad_x = jnp.minimum(e * jnp.sqrt(jnp.maximum(cov2d[..., 0], 0.0)) + 1.0, radius_f)
+        rad_y = jnp.minimum(e * jnp.sqrt(jnp.maximum(cov2d[..., 2], 0.0)) + 1.0, radius_f)
+
     # getRect (`auxiliary.h:46-57`): note the min is computed with C float→int
     # truncation of (p - r) / BLOCK, which rounds toward zero — emulate with a
     # floor after clamping at 0 (negative operands clamp to 0 anyway).
-    rx0 = jnp.clip(jnp.floor((mx - radius_f) / tile_size).astype(jnp.int32), 0, grid_x)
-    ry0 = jnp.clip(jnp.floor((my - radius_f) / tile_size).astype(jnp.int32), 0, grid_y)
+    rx0 = jnp.clip(jnp.floor((mx - rad_x) / tile_size).astype(jnp.int32), 0, grid_x)
+    ry0 = jnp.clip(jnp.floor((my - rad_y) / tile_size).astype(jnp.int32), 0, grid_y)
     rx1 = jnp.clip(
-        jnp.floor((mx + radius_f + tile_size - 1) / tile_size).astype(jnp.int32),
+        jnp.floor((mx + rad_x + tile_size - 1) / tile_size).astype(jnp.int32),
         0,
         grid_x,
     )
     ry1 = jnp.clip(
-        jnp.floor((my + radius_f + tile_size - 1) / tile_size).astype(jnp.int32),
+        jnp.floor((my + rad_y + tile_size - 1) / tile_size).astype(jnp.int32),
         0,
         grid_y,
     )
     num_tiles = (rx1 - rx0) * (ry1 - ry0)
 
-    valid = in_front & det_valid & (num_tiles > 0)
+    # Reference radii/visibility semantics use the 3σ circle rect regardless
+    # of opacity (CUDA's preprocess never opacity-culls) — keep them for
+    # densification parity while instance generation uses the exact rect.
+    r3x0 = jnp.clip(jnp.floor((mx - radius_f) / tile_size).astype(jnp.int32), 0, grid_x)
+    r3y0 = jnp.clip(jnp.floor((my - radius_f) / tile_size).astype(jnp.int32), 0, grid_y)
+    r3x1 = jnp.clip(
+        jnp.floor((mx + radius_f + tile_size - 1) / tile_size).astype(jnp.int32),
+        0, grid_x,
+    )
+    r3y1 = jnp.clip(
+        jnp.floor((my + radius_f + tile_size - 1) / tile_size).astype(jnp.int32),
+        0, grid_y,
+    )
+    visible = in_front & det_valid & ((r3x1 - r3x0) * (r3y1 - r3y0) > 0)
     if active_mask is not None:
-        valid = valid & active_mask
-    radii = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+        visible = visible & active_mask
+    valid = visible & (num_tiles > 0) & opa_visible
+    radii = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
     tiles_touched = jnp.where(valid, num_tiles, 0).astype(jnp.int32)
 
     return Preprocessed(

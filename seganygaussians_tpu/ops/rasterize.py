@@ -94,6 +94,7 @@ def rasterize(
         scale_modifier=config.scale_modifier,
         tile_size=config.tile_size,
         active_mask=active_mask,
+        opacities=opacities,  # exact α ≥ 1/255 footprint culling
     )
 
     means2d = prep.means2d

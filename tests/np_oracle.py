@@ -49,7 +49,7 @@ def rasterize_reference(
     bg,
     tile_size=16,
 ):
-    """Returns (image (H,W,C), final_T (H,W), n_contrib (H,W), radii (N,))."""
+    """Returns (image, final_T, n_contrib (count of included), radii)."""
     n = means3d.shape[0]
     c = colors.shape[1]
     fx = width / (2.0 * tan_fovx)
@@ -134,10 +134,8 @@ def rasterize_reference(
                         continue
                     T = 1.0
                     C = np.zeros(c)
-                    contributor = 0
                     last = 0
                     for g in ids:
-                        contributor += 1
                         dx = means2d[g, 0] - x
                         dy = means2d[g, 1] - y
                         a, b, cc = conics[g]
@@ -152,7 +150,7 @@ def rasterize_reference(
                             break
                         C += colors[g] * alpha * T
                         T = test_t
-                        last = contributor
+                        last += 1
                     image[y, x] = C + T * bg[:c]
                     final_t[y, x] = T
                     n_contrib[y, x] = last
