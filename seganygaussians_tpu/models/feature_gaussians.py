@@ -102,8 +102,12 @@ def from_scene_geometry(
         )
     else:
         feats = jnp.zeros((capacity, feature_dim), jnp.float32)
-    # KNN over live geometry only; dead slots map to themselves.
-    smooth_map = build_smooth_map(geom.xyz, smooth_k)
+    # KNN over live geometry only: displace dead (zero-padded) slots far
+    # outside the scene so live points near the origin never pick them as
+    # neighbours, then remap dead rows to self.
+    span = jnp.max(jnp.abs(geom.xyz)) + 1.0
+    knn_xyz = jnp.where(geom.alive[:, None], geom.xyz, geom.xyz + 100.0 * span)
+    smooth_map = build_smooth_map(knn_xyz, smooth_k)
     smooth_map = jnp.where(
         geom.alive[:, None], smooth_map, jnp.arange(capacity)[:, None]
     )

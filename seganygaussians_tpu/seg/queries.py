@@ -65,6 +65,11 @@ def segment3d(
     score = similarity_to_prompts(gated, prompts)
     mask = score > threshold
     if alive is not None:
+        if alive.shape[0] > mask.shape[0]:
+            # Feature field holds exactly N rows; the scene state is
+            # capacity-padded (live rows first after from_dense) — pad the
+            # similarity mask so the AND broadcasts over capacity.
+            mask = jnp.pad(mask, (0, alive.shape[0] - mask.shape[0]))
         mask = mask & alive
     return mask
 

@@ -123,6 +123,9 @@ class SceneTrainer:
     config: RasterConfig = RasterConfig()
     seed: int = 0
     on_eval: Optional[Callable] = None
+    # Fires EVERY iteration with device-side metrics (no host sync) — the
+    # save/test/checkpoint cadence hook, decoupled from ``log_every``.
+    on_iteration: Optional[Callable] = None
 
     def __post_init__(self):
         self.active_sh_degree = 0
@@ -134,23 +137,43 @@ class SceneTrainer:
         self._stack: list[int] = []
         self._gt_cache: dict[int, jnp.ndarray] = {}
         self.metrics_history: list[dict] = []
+        # Persistent generator: every stack refill draws a FRESH permutation
+        # (the reference re-shuffles each epoch, `train_scene.py:80-82`).
+        self._rng = np.random.default_rng(self.seed)
 
     def _next_camera(self):
         if not self._stack:
-            self._stack = list(np.random.default_rng(
-                self.seed + len(self.metrics_history)
-            ).permutation(len(self.cameras)))
+            self._stack = list(self._rng.permutation(len(self.cameras)))
         idx = self._stack.pop()
         cam = self.cameras[idx]
         if idx not in self._gt_cache:
             self._gt_cache[idx] = jnp.asarray(cam.image)
         return cam, self._gt_cache[idx]
 
-    def run(self, iterations: Optional[int] = None, log_every: int = 0):
+    def _grow_capacity(self):
+        """Instance budget exceeded: grow the static capacity and recompile
+        (the host half of the CUDA resizable-buffer trick,
+        `rasterize_points.cu:27-33`)."""
+        from seganygaussians_tpu.ops.binning import suggest_capacity
+
+        new_cap = suggest_capacity(int(self.config.capacity * 1.5))
+        print(f"[raster] instance overflow: capacity "
+              f"{self.config.capacity} -> {new_cap} (recompile)")
+        self.config = dataclasses.replace(self.config, capacity=new_cap)
+
+    def run(
+        self,
+        iterations: Optional[int] = None,
+        log_every: int = 0,
+        start_iteration: int = 0,
+    ):
         h = self.hyper
         iterations = iterations or h.iterations
+        # SH warmup state on resume (`train_scene.py:76-77`: +1 per 1000).
+        self.active_sh_degree = min(self.sh_degree, start_iteration // 1000)
         t0 = time.time()
-        for it in range(1, iterations + 1):
+        overflow_probe = None
+        for it in range(start_iteration + 1, iterations + 1):
             # SH degree warmup (`train_scene.py:76-77`)
             if it % 1000 == 0 and self.active_sh_degree < self.sh_degree:
                 self.active_sh_degree += 1
@@ -160,8 +183,17 @@ class SceneTrainer:
                 jnp.asarray(it, jnp.int32), self.spatial_lr_scale,
                 self.active_sh_degree, h, self.config,
             )
-            if h.densify_from_iter < it < h.densify_until_iter:
-                if it % h.densification_interval == 0:
+            overflow_probe = metrics["overflow"]
+            # Densification — gating matches `train_scene.py:124-134`:
+            # the opacity reset is NOT nested under the densify-from gate, so
+            # white-bg scenes reset at exactly it == densify_from_iter and
+            # periodic resets run for the whole `it < densify_until` window.
+            if it < h.densify_until_iter:
+                if it > h.densify_from_iter and it % h.densification_interval == 0:
+                    # Natural sync point (once per 100 iters): act on overflow
+                    # before densification grows the instance count further.
+                    if bool(overflow_probe):
+                        self._grow_capacity()
                     self.key, sub = jax.random.split(self.key)
                     max_screen = 20.0 if it > h.opacity_reset_interval else 0.0
                     self.state = densify_step(
@@ -171,6 +203,10 @@ class SceneTrainer:
                     self.white_background and it == h.densify_from_iter
                 ):
                     self.state = gm.reset_opacity(self.state)
+            elif it % 100 == 0 and bool(overflow_probe):
+                self._grow_capacity()
+            if self.on_iteration:
+                self.on_iteration(self, it, metrics)
             if log_every and it % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["iter"] = it
@@ -185,21 +221,42 @@ class SceneTrainer:
         return self.spatial_lr_scale  # cameras_extent == spatial_lr_scale
 
     def psnr_on(self, cameras) -> float:
-        """Mean PSNR over views (`training_report`, `train_scene.py:167-202`)."""
+        """Mean PSNR over views (`training_report`, `train_scene.py:167-202`).
+        Jitted per resolution; all same-size cameras share one compile."""
         vals = []
         for cam in cameras:
-            out = rasterize(
-                self.state.params.xyz,
-                gm.get_opacity(self.state.params)[:, 0],
-                cam.params,
-                shs=gm.get_shs(self.state.params),
-                sh_degree=self.active_sh_degree,
-                scales=gm.get_scaling(self.state.params),
-                rotations=gm.get_rotation(self.state.params),
-                bg=self.bg,
-                active_mask=self.state.alive,
-                config=self.config,
-            )
-            img = jnp.clip(out.color, 0.0, 1.0)
-            vals.append(float(losses.psnr(img, jnp.asarray(cam.image))))
+            vals.append(float(_eval_step(
+                self.state, cam.params, jnp.asarray(cam.image), self.bg,
+                self.active_sh_degree, self.config,
+            )[1]))
         return float(np.mean(vals))
+
+    def eval_report(self, cameras) -> dict:
+        """Held-out L1 + PSNR (`training_report`, `train_scene.py:167-202`)."""
+        l1s, psnrs = [], []
+        for cam in cameras:
+            l1, ps = _eval_step(
+                self.state, cam.params, jnp.asarray(cam.image), self.bg,
+                self.active_sh_degree, self.config,
+            )
+            l1s.append(float(l1))
+            psnrs.append(float(ps))
+        return {"l1": float(np.mean(l1s)), "psnr": float(np.mean(psnrs))}
+
+
+@functools.partial(jax.jit, static_argnames=("active_sh_degree", "config"))
+def _eval_step(state, camera, gt, bg, active_sh_degree, config):
+    out = rasterize(
+        state.params.xyz,
+        gm.get_opacity(state.params)[:, 0],
+        camera,
+        shs=gm.get_shs(state.params),
+        sh_degree=active_sh_degree,
+        scales=gm.get_scaling(state.params),
+        rotations=gm.get_rotation(state.params),
+        bg=bg,
+        active_mask=state.alive,
+        config=config,
+    )
+    img = jnp.clip(out.color, 0.0, 1.0)
+    return losses.l1_loss(img, gt), losses.psnr(img, gt)

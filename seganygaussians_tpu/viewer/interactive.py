@@ -33,6 +33,25 @@ from seganygaussians_tpu.seg import clustering, queries
 from seganygaussians_tpu.seg.scale_gate import ScaleGateParams
 
 
+def render_view(
+    state: gm.GaussianState,
+    camera,
+    sh_degree: int = 3,
+    config: Optional[RasterConfig] = None,
+) -> np.ndarray:
+    """One RGB frame for an arbitrary camera — the network-viewer render
+    (`train_scene.py:59-62`: render custom_cam, clamp, to bytes)."""
+    cfg = config or RasterConfig()
+    out = rasterize(
+        state.params.xyz, gm.get_opacity(state.params)[:, 0], camera,
+        shs=gm.get_shs(state.params), sh_degree=sh_degree,
+        scales=gm.get_scaling(state.params),
+        rotations=gm.get_rotation(state.params),
+        active_mask=state.alive, config=cfg,
+    )
+    return np.clip(np.asarray(out.color), 0.0, 1.0)
+
+
 @dataclasses.dataclass
 class OrbitState:
     """Orbit camera state (`saga_gui.py:70-177`)."""

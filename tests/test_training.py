@@ -88,3 +88,97 @@ def test_scene_training_improves(synthetic_scene):
     assert not any(m["overflow"] for m in trainer.metrics_history)
     # densification ran and state stayed finite
     assert np.isfinite(np.asarray(trainer.state.params.xyz)).all()
+
+
+def _tiny_trainer(synthetic_scene, **kw):
+    cams, cfg = synthetic_scene
+    rng = np.random.default_rng(7)
+    pts = rng.normal(scale=0.45, size=(40, 3)).astype(np.float32)
+    cols = np.full((40, 3), 0.5, np.float32)
+    state = gm.create_from_points(pts, cols, sh_degree=0, capacity=64)
+    defaults = dict(
+        state=state, cameras=cams, spatial_lr_scale=2.5,
+        sh_degree=0, config=cfg, seed=0,
+    )
+    defaults.update(kw)
+    return SceneTrainer(**defaults)
+
+
+def test_white_bg_opacity_reset_fires(synthetic_scene):
+    """Reference gating (`train_scene.py:133-134`): white-bg scenes reset
+    opacity at exactly it == densify_from_iter (VERDICT Weak #4)."""
+    hyper = gm.TrainHyper(
+        densify_from_iter=5, densify_until_iter=100,
+        densification_interval=50, opacity_reset_interval=10_000,
+        position_lr_max_steps=20,
+    )
+    tr = _tiny_trainer(synthetic_scene, hyper=hyper, white_background=True)
+    opac_before = np.asarray(gm.get_opacity(tr.state.params))
+    assert opac_before.max() > 0.011  # init 0.1 sigmoid-space
+    tr.run(iterations=5)
+    opac_after = np.asarray(gm.get_opacity(tr.state.params))
+    assert opac_after.max() <= 0.0101, "white-bg reset did not fire at iter 5"
+
+
+def test_periodic_opacity_reset_outside_densify_window(synthetic_scene):
+    """Periodic reset gates only on it < densify_until (not densify_from)."""
+    hyper = gm.TrainHyper(
+        densify_from_iter=1_000, densify_until_iter=100,
+        densification_interval=50, opacity_reset_interval=4,
+        position_lr_max_steps=20,
+    )
+    tr = _tiny_trainer(synthetic_scene, hyper=hyper)
+    tr.run(iterations=4)  # it=4: reset (4 % 4 == 0, 4 < 100)
+    assert np.asarray(gm.get_opacity(tr.state.params)).max() <= 0.0101
+
+
+def test_on_iteration_fires_every_iter(synthetic_scene):
+    hyper = gm.TrainHyper(densify_from_iter=50, densify_until_iter=40,
+                          position_lr_max_steps=20)
+    tr = _tiny_trainer(synthetic_scene, hyper=hyper)
+    seen = []
+    tr.on_iteration = lambda t, it, m: seen.append(it)
+    tr.run(iterations=7, log_every=100)  # log_every never fires
+    assert seen == list(range(1, 8))
+
+
+def test_resume_from_start_iteration(synthetic_scene):
+    """start_iteration skips already-done work and restores SH warmup."""
+    hyper = gm.TrainHyper(densify_from_iter=50, densify_until_iter=40,
+                          position_lr_max_steps=20)
+    tr = _tiny_trainer(synthetic_scene, hyper=hyper, sh_degree=3)
+    seen = []
+    tr.on_iteration = lambda t, it, m: seen.append(it)
+    tr.run(iterations=6, start_iteration=4)
+    assert seen == [5, 6]
+    tr2 = _tiny_trainer(synthetic_scene, hyper=hyper, sh_degree=3)
+    tr2.run(iterations=2001, start_iteration=2000)
+    assert tr2.active_sh_degree == 2  # 2000 // 1000
+
+
+def test_overflow_grows_capacity(synthetic_scene):
+    """Instance-budget overflow regrows the static capacity and recompiles
+    instead of silently truncating (VERDICT Weak #8)."""
+    cams, _ = synthetic_scene
+    tiny = RasterConfig(capacity=256, backend="xla")  # way too small
+    hyper = gm.TrainHyper(
+        densify_from_iter=1, densify_until_iter=100,
+        densification_interval=2, opacity_reset_interval=10_000,
+        position_lr_max_steps=20,
+    )
+    tr = _tiny_trainer(synthetic_scene, hyper=hyper, config=tiny)
+    tr.run(iterations=4)
+    assert tr.config.capacity > 256, "overflow did not grow capacity"
+
+
+def test_fresh_camera_permutation_per_epoch(synthetic_scene):
+    """Each epoch (stack refill) must draw a NEW random order — the round-1
+    bug replayed the identical permutation when no metrics were logged."""
+    tr = _tiny_trainer(synthetic_scene)
+    n = len(tr.cameras)
+    epochs = []
+    for _ in range(4):
+        tr._stack = []
+        tr._next_camera()
+        epochs.append(tuple(tr._stack))  # remaining order after one pop
+    assert len(set(epochs)) > 1, "camera order identical across epochs"
