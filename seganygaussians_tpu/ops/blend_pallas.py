@@ -90,14 +90,28 @@ def _pack_instances(gauss_id, means2d, conics, opacities, colors, m_pad):
     return inst.T  # (F, M_pad)
 
 
-def _pixel_coords(t, grid_x: int, tile_size: int, p: int):
-    """Per-tile pixel coordinates as (P, 1) columns (pixels on sublanes)."""
-    tile_x = (t % grid_x).astype(jnp.float32)
-    tile_y = (t // grid_x).astype(jnp.float32)
+def _tile_origin(t, grid_x: int, tile_size: int):
+    tile_x = (t % grid_x).astype(jnp.float32) * tile_size
+    tile_y = (t // grid_x).astype(jnp.float32) * tile_size
+    return tile_x, tile_y
+
+
+def _pixel_basis(tile_size: int, p: int):
+    """Quadratic pixel basis (P, 8): [1, px, py, px², py², px·py, 0, 0] in
+    TILE-LOCAL coordinates (identical for every tile; local coords keep the
+    quadratic's terms O(10²) so the f32 matmul cancellation error stays
+    ~1e-5 in the exponent).  The Gaussian log-density is quadratic in pixel
+    position, so evaluating it for a whole chunk is ONE (P,8)x(8,K) MXU
+    matmul instead of ~12 VPU ops on (P,K) arrays."""
     sub = lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    px = tile_x * tile_size + (sub % tile_size).astype(jnp.float32)
-    py = tile_y * tile_size + (sub // tile_size).astype(jnp.float32)
-    return px, py
+    px = (sub % tile_size).astype(jnp.float32)
+    py = (sub // tile_size).astype(jnp.float32)
+    one = jnp.ones_like(px)
+    zero = jnp.zeros_like(px)
+    basis = jnp.concatenate(
+        [one, px, py, px * px, py * py, px * py, zero, zero], axis=1
+    )  # (P, 8)
+    return basis
 
 
 def _tri_excl(k: int):
@@ -108,25 +122,59 @@ def _tri_excl(k: int):
     return (row < col).astype(jnp.float32)
 
 
-def _chunk_alpha(slab, px, py, row0, start, end, k):
-    """Shared α computation for a chunk: returns (alpha (P,K), idx (1,K))."""
-    gx = slab[0:1, :]  # (1, K)
-    gy = slab[1:2, :]
+def _chunk_coef(slab, tx0, ty0):
+    """Per-instance quadratic coefficients (8, K) of s = power + log(opa) in
+    tile-local pixel coordinates, plus the (1, K) rows the backward needs.
+
+    s(px,py) = c0 + c1·px + c2·py + c3·px² + c4·py² + c5·px·py with
+      c0 = −½ca·gx² − ½cc·gy² − cb·gx·gy + log(opa)
+      c1 = ca·gx + cb·gy,  c2 = cc·gy + cb·gx
+      c3 = −½ca,  c4 = −½cc,  c5 = −cb
+    """
+    gx = slab[0:1, :] - tx0  # (1, K) local
+    gy = slab[1:2, :] - ty0
     ca = slab[2:3, :]
     cb = slab[3:4, :]
     cc = slab[4:5, :]
     opa = slab[5:6, :]
+    log_opa = jnp.log(jnp.maximum(opa, 1e-12))
+    zero = jnp.zeros_like(ca)
+    coef = jnp.concatenate(
+        [
+            -0.5 * (ca * gx * gx + cc * gy * gy) - cb * gx * gy + log_opa,
+            ca * gx + cb * gy,
+            cc * gy + cb * gx,
+            -0.5 * ca,
+            -0.5 * cc,
+            -cb,
+            zero,
+            zero,
+        ],
+        axis=0,
+    )  # (8, K)
+    return coef, (gx, gy, ca, cb, cc, opa, log_opa)
 
-    dx = gx - px  # (P, K)
-    dy = gy - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp(power))
 
+def _chunk_alpha(slab, basis, tx0, ty0, row0, start, end, k):
+    """α for a chunk via the basis matmul.  Returns (alpha (P,K), s (P,K),
+    per-instance rows).  contributes ≡ (power ≤ 0) & (α_raw ≥ 1/255) &
+    in-segment, expressed as bounds on s = power + log(opa)."""
+    coef, rows = _chunk_coef(slab, tx0, ty0)
+    log_opa = rows[6]
+    s = jax.lax.dot_general(
+        basis, coef,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (P, K)
     idx = row0 + lax.broadcasted_iota(jnp.int32, (1, k), 1)
     in_seg = (idx >= start) & (idx < end)
-    contributes = (power <= 0.0) & (alpha >= ALPHA_MIN) & in_seg
-    alpha = jnp.where(contributes, alpha, 0.0)
-    return alpha, idx, dx, dy, power
+    contributes = (s <= log_opa) & (s >= _LOG_ALPHA_MIN) & in_seg
+    alpha = jnp.where(contributes, jnp.minimum(ALPHA_MAX, jnp.exp(s)), 0.0)
+    return alpha, s, rows
+
+
+_LOG_ALPHA_MIN = float(np.log(1.0 / 255.0))
 
 
 # ---------------------------------------------------------------------------

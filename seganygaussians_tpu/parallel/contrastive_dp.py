@@ -189,7 +189,8 @@ def make_dp_contrastive_step(
         new_gate, new_gate_opt = optim.adam_update(
             gate_grads, gate_opt, gate_params, gate_lrs
         )
-        return feat_state, new_gate, new_gate_opt, loss, overflow
+        dbg = feat_grads if hyper.debug_grads else jnp.zeros((1,), jnp.float32)
+        return feat_state, new_gate, new_gate_opt, loss, overflow, dbg
 
     replicated = P()
     cam_sharded = P("data")
@@ -199,7 +200,7 @@ def make_dp_contrastive_step(
         in_specs=(replicated, replicated, replicated,
                   cam_sharded, cam_sharded, cam_sharded,
                   cam_sharded, replicated, cam_sharded),
-        out_specs=(replicated, replicated, replicated, replicated, replicated),
+        out_specs=(replicated,) * 6,
         check_vma=False,
     )
 

@@ -200,6 +200,10 @@ class ContrastiveHyper:
     smooth_dropout: float = 0.5
     rfn: float = 1.0
     scale_aware_dim: int = -1
+    # Return raw feature gradients in aux (testing/debugging only — Adam's
+    # first-step sign(g) behaviour makes post-update params useless for
+    # gradient-parity checks).
+    debug_grads: bool = False
 
 
 @functools.partial(
@@ -302,6 +306,9 @@ def contrastive_step(
         feat_state.point_features, gate_params
     )
     feat_grads, gate_grads = grads
+    if hyper.debug_grads:
+        aux["feat_grads"] = feat_grads
+        aux["gate_grads"] = gate_grads
 
     new_features, new_opt = optim.adam_update(
         feat_grads, feat_state.opt, feat_state.point_features,
