@@ -205,7 +205,8 @@ def _fwd_kernel(
     c0 = start // k
     c1 = lax.div(end + k - 1, k)
 
-    px, py = _pixel_coords(t, grid_x, tile_size, p)
+    tx0, ty0 = _tile_origin(t, grid_x, tile_size)
+    basis = _pixel_basis(tile_size, p)
     tri = _tri_excl(k)
 
     def dma(ci):
@@ -233,7 +234,7 @@ def _fwd_kernel(
         slab = slab_ref[lax.rem(ci, 2)]
         row0 = ci * k
 
-        alpha, idx, _, _, _ = _chunk_alpha(slab, px, py, row0, start, end, k)
+        alpha, _, _ = _chunk_alpha(slab, basis, tx0, ty0, row0, start, end, k)
 
         log1m = jnp.log1p(-alpha)
         cum_excl = jax.lax.dot_general(
@@ -367,7 +368,8 @@ def _bwd_kernel(
     # chunk-aligned (tile ranges are contiguous: starts[t+1] == end).
     last_shared = (t < num_tiles - 1) & (next_start < c1 * k) & (next_start > (c1 - 1) * k)
 
-    px, py = _pixel_coords(t, grid_x, tile_size, p)
+    tx0, ty0 = _tile_origin(t, grid_x, tile_size)
+    basis = _pixel_basis(tile_size, p)
     tri = _tri_excl(k)
 
     g_pix = g_tiles_ref[0, :, :]  # (P, C_pad)
@@ -428,14 +430,9 @@ def _bwd_kernel(
         slab = slab_ref[lax.rem(ci, 2)]
         row0 = ci * k
         colors = slab[COLOR_OFFSET : COLOR_OFFSET + c_pad, :]  # (C_pad, K)
-        opa = slab[5:6, :]
-        ca = slab[2:3, :]
-        cb = slab[3:4, :]
-        cc = slab[4:5, :]
 
-        alpha, idx, dx, dy, power = _chunk_alpha(slab, px, py, row0, start, end, k)
-        g_exp = jnp.exp(power)
-        alpha_raw = opa * g_exp
+        alpha, s, rows = _chunk_alpha(slab, basis, tx0, ty0, row0, start, end, k)
+        gx, gy, ca, cb, cc, opa, log_opa = rows  # (1, K) each; gx/gy tile-local
 
         log1m = jnp.log1p(-alpha)
         cum_excl = jax.lax.dot_general(
@@ -477,16 +474,38 @@ def _bwd_kernel(
             0.0,
         )  # (P, K)
 
-        # α = min(0.99, opa·G): zero gradient through the clamp.
-        unclamped = (alpha_raw < ALPHA_MAX) & include
+        # α = min(0.99, exp(s)): zero gradient through the clamp.  Where
+        # unclamped, ∂α/∂s = α, so the per-pixel cotangent of s is
+        # d_s = d_alpha_u·α.  Every per-instance gradient row is a weighted
+        # pixel-polynomial moment of d_s: dx = gx−px is linear in (px,py), so
+        # dx², dx·dy, … expand over the SAME quadratic basis the forward uses.
+        # basisᵀ·d_s is therefore ONE (8,P)x(P,K) MXU matmul that yields all
+        # six moments [m0, Σpx·d_s, Σpy·d_s, Σpx²·d_s, Σpy²·d_s, Σpx·py·d_s];
+        # the conic/mean/opacity rows reduce to (1,K) VPU expressions of them
+        # (gradient semantics parity: backward.cu:399-557).
+        unclamped = (alpha < ALPHA_MAX) & include
         d_alpha_u = jnp.where(unclamped, d_alpha, 0.0)
-        d_opa = jnp.sum(d_alpha_u * g_exp, axis=0, keepdims=True)  # (1, K)
-        d_power = d_alpha_u * alpha  # α = opa·G when unclamped
-        d_ca = jnp.sum(-0.5 * dx * dx * d_power, axis=0, keepdims=True)
-        d_cb = jnp.sum(-dx * dy * d_power, axis=0, keepdims=True)
-        d_cc = jnp.sum(-0.5 * dy * dy * d_power, axis=0, keepdims=True)
-        d_gx = jnp.sum(-(ca * dx + cb * dy) * d_power, axis=0, keepdims=True)
-        d_gy = jnp.sum(-(cc * dy + cb * dx) * d_power, axis=0, keepdims=True)
+        d_s = d_alpha_u * alpha  # (P, K)
+        moments = jax.lax.dot_general(
+            basis, d_s,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (8, K)
+        m0 = moments[0:1, :]
+        mx = moments[1:2, :]
+        my = moments[2:3, :]
+        mxx = moments[3:4, :]
+        myy = moments[4:5, :]
+        mxy = moments[5:6, :]
+        # s = power + log(opa) ⇒ ∂s/∂opa = 1/opa (opa ≥ 1/255 wherever d_s≠0).
+        d_opa = m0 / jnp.maximum(opa, 1e-12)
+        # Σ dx²·d_s = gx²·m0 − 2gx·mx + mxx, etc. (dx = gx − px, tile-local).
+        d_ca = -0.5 * (gx * gx * m0 - 2.0 * gx * mx + mxx)
+        d_cb = -(gx * gy * m0 - gx * my - gy * mx + mxy)
+        d_cc = -0.5 * (gy * gy * m0 - 2.0 * gy * my + myy)
+        d_gx = -(ca * (gx * m0 - mx) + cb * (gy * m0 - my))
+        d_gy = -(cc * (gy * m0 - my) + cb * (gx * m0 - mx))
 
         grad_rows = jnp.concatenate(
             [d_gx, d_gy, d_ca, d_cb, d_cc, d_opa,

@@ -149,17 +149,28 @@ def make_dp_contrastive_step(
             mask_pos = (samp_pos | trig_pos | inconsistent) & ~eye_blk & triu_blk
             mask_neg = (samp_neg | trig_neg | inconsistent) & ~eye_blk & triu_blk
 
-            wp = ppw_blk[None] * gt_blk * corr_blk
-            num_p = lax.psum(jnp.sum(jnp.where(mask_pos[None], wp, 0.0)), "ray")
-            den_p = lax.psum(jnp.sum(mask_pos), "ray") * s_total
-            wn = ppw_blk[None] * (1 - gt_blk) * jax.nn.relu(corr_blk)
-            num_n = lax.psum(jnp.sum(jnp.where(mask_neg[None], wn, 0.0)), "ray")
+            # CRITICAL: the differentiated loss must not contain a psum on a
+            # float.  Under shard_map(check_vma=False) psum transposes to
+            # psum, so a cotangent flowing through it is multiplied by
+            # ray_size — exactly the bug that broke gradient parity in r2.
+            # The denominators below ARE psums, but of integer counts (no
+            # tangent path); the differentiable numerators stay LOCAL, and
+            # the outer psum of feat_grads assembles the exact full gradient.
+            den_p = lax.psum(jnp.sum(mask_pos), "ray") * s_total  # int32
             den_n = lax.psum(jnp.sum(mask_neg), "ray") * s_total
-            pair_loss = -num_p / jnp.maximum(den_p, 1) + num_n / jnp.maximum(den_n, 1)
+            wp = ppw_blk[None] * gt_blk * corr_blk
+            local_np = jnp.sum(jnp.where(mask_pos[None], wp, 0.0))
+            wn = ppw_blk[None] * (1 - gt_blk) * jax.nn.relu(corr_blk)
+            local_nn = jnp.sum(jnp.where(mask_neg[None], wn, 0.0))
+            pair_local = (
+                -local_np / jnp.maximum(den_p, 1) + local_nn / jnp.maximum(den_n, 1)
+            )
             # rfn is replicated across the ray axis: scale so the psum of
             # per-device gradients counts it exactly once.  The true
-            # (single-device-equal) loss value goes out through aux.
-            loss_for_grad = pair_loss + hyper.rfn * rfn_reg / ray_size
+            # (single-device-equal) loss value goes out through aux, with
+            # stop_gradient guarding its psum.
+            loss_for_grad = pair_local + hyper.rfn * rfn_reg / ray_size
+            pair_loss = lax.psum(lax.stop_gradient(pair_local), "ray")
             true_loss = pair_loss + hyper.rfn * rfn_reg
             return loss_for_grad, (true_loss, rfn_val, out.overflow)
 

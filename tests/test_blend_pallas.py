@@ -37,8 +37,11 @@ def test_pallas_forward_matches_oracle(rng, c):
     np.testing.assert_allclose(
         np.asarray(outs["pallas"].color), np.asarray(outs["xla"].color), atol=1e-4
     )
+    # The Pallas kernel evaluates the Gaussian exponent via a quadratic-basis
+    # MXU matmul; its f32 cancellation error is ~1e-5 in the exponent, which
+    # bounds |Δα| ≈ 1e-5·α and hence |ΔT| at the same scale.
     np.testing.assert_allclose(
-        np.asarray(outs["pallas"].final_t), np.asarray(outs["xla"].final_t), atol=1e-5
+        np.asarray(outs["pallas"].final_t), np.asarray(outs["xla"].final_t), atol=5e-5
     )
     np.testing.assert_array_equal(
         np.asarray(outs["pallas"].n_contrib), np.asarray(outs["xla"].n_contrib)
