@@ -23,6 +23,10 @@ def main():
 
     logging.basicConfig(stream=sys.stderr, force=True)
 
+    from seganygaussians_tpu.utils import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
 
@@ -33,7 +37,6 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     W, H = (1024, 768) if on_tpu else (128, 96)
     n = 100_000 if on_tpu else 2_000
-    cap = (1 << 21) if on_tpu else (1 << 14)
 
     rng = np.random.default_rng(0)
     # A scene-like cloud: points in a view-filling slab, LOD-ish scales.
@@ -60,9 +63,10 @@ def main():
             xyz, cam, scales=sc, rotations=rot, active_mask=state.alive
         )
     )(state.params.xyz, gm.get_scaling(state.params), gm.get_rotation(state.params))
+    from seganygaussians_tpu.ops.binning import suggest_capacity
+
     total = int(np.asarray(jnp.sum(prep.tiles_touched)))
-    while cap < total:
-        cap *= 2
+    cap = suggest_capacity(total)
     cfg = RasterConfig(capacity=cap, backend="auto")
     bg = jnp.zeros(3)
     print(

@@ -61,6 +61,22 @@ def suggest_capacity(total: int, headroom: float = 1.15, multiple: int = 256) ->
     return ((need + multiple - 1) // multiple) * multiple  # unreachable
 
 
+class SlotPlan(NamedTuple):
+    """Slot-order instance expansion, BEFORE the (tile, depth) sort.
+
+    Slot order groups each Gaussian's instances contiguously (by ascending
+    depth rank).  The Pallas path sorts keys *and field payloads together*
+    (`blend_pallas.blend_fused`), which replaces the round-2 two-step
+    sort-then-row-gather pack (the (M, F) gather was ~40% of forward cost,
+    measured in tools/profile_raster.py)."""
+
+    slot_rank: jnp.ndarray  # (M,) int32 ascending depth rank per slot (clipped)
+    slot_tile: jnp.ndarray  # (M,) int32 tile per slot (== num_tiles ⇒ padding)
+    depth_perm: jnp.ndarray  # (N,) int32: depth rank → original Gaussian index
+    num_instances: jnp.ndarray  # () int32 true instance count (≤ capacity)
+    overflow: jnp.ndarray  # () bool — capacity exceeded, results truncated
+
+
 class Binned(NamedTuple):
     gauss_id: jnp.ndarray  # (M,) int32: sorted instance → *depth rank*
     tile_id: jnp.ndarray  # (M,) int32 sorted tile (== num_tiles ⇒ padding)
@@ -83,8 +99,14 @@ def _expand_int(field: jnp.ndarray, offsets: jnp.ndarray, capacity: int) -> jnp.
     return jnp.cumsum(base)
 
 
-def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int, capacity: int) -> Binned:
-    """Expand Gaussians into per-tile instances sorted by (tile, depth)."""
+def expand_slots(
+    prep: Preprocessed, grid_x: int, grid_y: int, capacity: int
+) -> SlotPlan:
+    """Expand Gaussians into slot-order (rank-grouped) tile instances.
+
+    Steps 1-2 of the binning design (module docstring): depth-sort Gaussians,
+    then expand each to one slot per touched tile with a single exact integer
+    cumsum pass + one ascending 2-column row gather — no sort yet."""
     n = prep.tiles_touched.shape[0]
     num_tiles = grid_x * grid_y
 
@@ -123,6 +145,24 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int, capacity: int) -
     in_range = slots < total
     tile = jnp.clip(jnp.where(in_range, tile, num_tiles), 0, num_tiles).astype(jnp.int32)
 
+    return SlotPlan(
+        slot_rank=gauss_rank,
+        slot_tile=tile,
+        depth_perm=depth_perm,
+        num_instances=jnp.minimum(total, capacity),
+        overflow=total > capacity,
+    )
+
+
+def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int, capacity: int) -> Binned:
+    """Expand Gaussians into per-tile instances sorted by (tile, depth)."""
+    n = prep.tiles_touched.shape[0]
+    num_tiles = grid_x * grid_y
+    plan = expand_slots(prep, grid_x, grid_y, capacity)
+    gauss_rank = plan.slot_rank
+    tile = plan.slot_tile
+    in_range = jnp.arange(capacity, dtype=jnp.int32) < plan.num_instances
+
     # 3+4. Sort + tile ranges.
     rank_bits = max(1, int(np.ceil(np.log2(max(n, 2)))))
     tile_bits = int(np.ceil(np.log2(num_tiles + 2)))
@@ -153,7 +193,7 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int, capacity: int) -
         gauss_id=gauss_s,
         tile_id=tile_s,
         tile_starts=tile_starts,
-        depth_perm=depth_perm,
-        num_instances=jnp.minimum(total, capacity),
-        overflow=total > capacity,
+        depth_perm=plan.depth_perm,
+        num_instances=plan.num_instances,
+        overflow=plan.overflow,
     )

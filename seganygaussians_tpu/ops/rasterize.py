@@ -125,36 +125,58 @@ def rasterize(
     grid_x = (camera.width + config.tile_size - 1) // config.tile_size
     grid_y = (camera.height + config.tile_size - 1) // config.tile_size
 
-    binned = bin_gaussians(prep, grid_x, grid_y, config.capacity)
-
-    # Blend consumes *depth-sorted* per-Gaussian fields (binned.gauss_id holds
-    # depth ranks).  The N-sized reorder gathers are cheap and differentiable.
-    perm = binned.depth_perm
-    means2d_d = means2d[perm]
-    conics_d = prep.conics[perm]
-    opacities_d = opacities[perm]
-    colors_d = all_colors[perm]
-
     backend = _select_backend(config.backend)
     if backend == "pallas":
+        # Fused bin-sort + pack + blend: the (tile, depth) sort carries the
+        # per-Gaussian field columns as payloads, replacing the separate
+        # instance-sized pack gather (see blend_pallas.blend_fused).
         from seganygaussians_tpu.ops import blend_pallas
+        from seganygaussians_tpu.ops.binning import expand_slots
 
-        blend_fn = blend_pallas.blend
+        plan = expand_slots(prep, grid_x, grid_y, config.capacity)
+        perm = plan.depth_perm
+        means2d_d = means2d[perm]
+        conics_d = prep.conics[perm]
+        opacities_d = opacities[perm]
+        colors_d = all_colors[perm]
+        fields = (
+            means2d_d[:, 0],
+            means2d_d[:, 1],
+            conics_d[:, 0],
+            conics_d[:, 1],
+            conics_d[:, 2],
+            opacities_d,
+        ) + tuple(colors_d[:, i] for i in range(all_colors.shape[-1]))
+        out = blend_pallas.blend_fused(
+            plan.slot_rank, plan.slot_tile, fields, bg_full,
+            grid_x, grid_y, config.tile_size,
+        )
+        overflow = plan.overflow
     else:
-        blend_fn = blend_xla.blend
-    out = blend_fn(
-        binned.gauss_id,
-        binned.tile_id,
-        binned.tile_starts,
-        means2d_d,
-        conics_d,
-        opacities_d,
-        colors_d,
-        bg_full,
-        grid_x,
-        grid_y,
-        config.tile_size,
-    )
+        binned = bin_gaussians(prep, grid_x, grid_y, config.capacity)
+
+        # Blend consumes *depth-sorted* per-Gaussian fields (binned.gauss_id
+        # holds depth ranks).  The N-sized reorder gathers are cheap and
+        # differentiable.
+        perm = binned.depth_perm
+        means2d_d = means2d[perm]
+        conics_d = prep.conics[perm]
+        opacities_d = opacities[perm]
+        colors_d = all_colors[perm]
+        out = blend_xla.blend(
+            binned.gauss_id,
+            binned.tile_id,
+            binned.tile_starts,
+            means2d_d,
+            conics_d,
+            opacities_d,
+            colors_d,
+            bg_full,
+            grid_x,
+            grid_y,
+            config.tile_size,
+        )
+        overflow = binned.overflow
 
     img = blend_xla.tiles_to_image(
         out.tiles, grid_x, grid_y, config.tile_size, camera.width, camera.height
@@ -175,5 +197,5 @@ def rasterize(
         final_t=final_t,
         n_contrib=n_contrib,
         radii=prep.radii,
-        overflow=binned.overflow,
+        overflow=overflow,
     )

@@ -1,9 +1,14 @@
 """Stage-split profiling of the rasterization pipeline on real hardware.
 
-Times each pipeline stage independently (preprocess / binning / pack /
-fwd-kernel / bwd-kernel / bwd-epilogue) plus the end-to-end fwd and fwd+bwd
-steps, so kernel optimization is guided by measurements instead of guesses
-(VERDICT.md Weak #1: "No profile exists to confirm the split").
+Times each pipeline stage independently (preprocess / slot expansion / fused
+payload sort / fwd kernel / bwd kernel / bwd epilogue) plus the end-to-end
+fwd and fwd+bwd steps, so kernel optimization is guided by measurements
+instead of guesses.
+
+NOTE on methodology: the remote-TPU relay makes `block_until_ready`
+unreliable and a host transfer costs a ~27 ms round trip, so every timing
+runs ITERS iterations followed by ONE scalar readback; the readback cost is
+measured separately and subtracted.
 
 Usage: python tools/profile_raster.py [--channels 3] [--trace DIR]
 """
@@ -17,6 +22,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from seganygaussians_tpu.utils import enable_persistent_cache
+
+enable_persistent_cache()
+
+ITERS = 20
+_SYNC_MS = 0.0  # measured D2H round-trip, subtracted from every stage
+
 
 def sync(x):
     """Force completion: host transfer of a scalar reduction."""
@@ -25,12 +37,10 @@ def sync(x):
     return float(jnp.sum(x if x.dtype != bool else x.astype(jnp.int32)))
 
 
-def timeit(fn, *args, iters=10, warmup=2):
+def timeit(fn, *args, iters=ITERS):
     import jax
 
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    out = fn(*args)  # compile + warmup
     leaves = jax.tree.leaves(out)
     sync(leaves[0])
     t0 = time.perf_counter()
@@ -38,7 +48,22 @@ def timeit(fn, *args, iters=10, warmup=2):
         out = fn(*args)
     leaves = jax.tree.leaves(out)
     sync(leaves[0])
-    return (time.perf_counter() - t0) / iters * 1e3  # ms
+    return max((time.perf_counter() - t0) * 1e3 - _SYNC_MS, 0.0) / iters
+
+
+def measure_sync_overhead():
+    """One tiny-op timing loop: its total time ≈ the D2H round trip."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.ones((8,))
+    sync(f(x))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        x = f(x)
+    sync(x)
+    return (time.perf_counter() - t0) * 1e3
 
 
 def main():
@@ -60,10 +85,14 @@ def main():
 
     from seganygaussians_tpu.models import gaussians as gm
     from seganygaussians_tpu.ops.camera import make_camera
-    from seganygaussians_tpu.ops.binning import bin_gaussians
+    from seganygaussians_tpu.ops.binning import expand_slots, suggest_capacity
     from seganygaussians_tpu.ops.projection import preprocess
     from seganygaussians_tpu.ops.rasterize import RasterConfig, rasterize
     from seganygaussians_tpu.ops import blend_pallas
+
+    global _SYNC_MS
+    _SYNC_MS = measure_sync_overhead()
+    print(f"# D2H sync overhead {_SYNC_MS:.1f} ms (subtracted)", flush=True)
 
     W, H, n = args.width, args.height, args.n
     C = args.channels
@@ -85,91 +114,122 @@ def main():
 
     # --- stage 1: preprocess
     prep_fn = jax.jit(
-        lambda xyz, sc, rot: preprocess(xyz, cam, scales=sc, rotations=rot, active_mask=alive)
+        lambda xyz, sc, rot: preprocess(
+            xyz, cam, scales=sc, rotations=rot, active_mask=alive, opacities=opac
+        )
     )
     prep = prep_fn(xyz, scales, rots)
     total = int(np.asarray(jnp.sum(prep.tiles_touched)))
-    cap = 1 << 18
-    while cap < total:
-        cap *= 2
+    cap = suggest_capacity(total)
     grid_x = (W + 15) // 16
     grid_y = (H + 15) // 16
-    print(f"# N={n} instances={total} capacity={cap} tiles={grid_x*grid_y} C={C}")
+    print(f"# N={n} instances={total} capacity={cap} tiles={grid_x*grid_y} C={C}", flush=True)
 
     t = timeit(prep_fn, xyz, scales, rots)
-    print(f"preprocess            {t:8.2f} ms")
+    print(f"preprocess            {t:8.2f} ms", flush=True)
 
-    # --- stage 2: binning
-    bin_fn = jax.jit(lambda p: bin_gaussians(p, grid_x, grid_y, cap))
-    binned = bin_fn(prep)
-    t = timeit(bin_fn, prep)
-    print(f"binning               {t:8.2f} ms")
+    # --- stage 2: slot expansion (no sort)
+    plan_fn = jax.jit(lambda p: expand_slots(p, grid_x, grid_y, cap))
+    plan = plan_fn(prep)
+    t = timeit(plan_fn, prep)
+    print(f"expand_slots          {t:8.2f} ms", flush=True)
 
-    # --- stage 3+4: blend fwd via pallas (includes pack gather)
-    perm = binned.depth_perm
+    # depth-sorted field columns
+    perm = plan.depth_perm
     means2d_d = prep.means2d[perm]
     conics_d = prep.conics[perm]
     opac_d = opac[perm]
     colors_d = colors[perm]
+    fields = (
+        means2d_d[:, 0], means2d_d[:, 1],
+        conics_d[:, 0], conics_d[:, 1], conics_d[:, 2], opac_d,
+    ) + tuple(colors_d[:, i] for i in range(C))
 
-    def fwd_only(m2d, con, op, col):
-        return blend_pallas._blend_fwd(
-            binned.gauss_id, binned.tile_id, binned.tile_starts,
-            m2d, con, op, col, bg, grid_x, grid_y, 16,
-        )[0].tiles
+    # --- stage 3: fused sort with payloads
+    def sort_stage(*fs):
+        expanded = tuple(f[plan.slot_rank] for f in fs)
+        return blend_pallas._fused_sort(
+            plan.slot_rank, plan.slot_tile, expanded, n, grid_x * grid_y
+        )
 
-    fwd_jit = jax.jit(fwd_only)
-    t = timeit(fwd_jit, means2d_d, conics_d, opac_d, colors_d)
-    print(f"blend fwd (pack+kern) {t:8.2f} ms")
+    t = timeit(jax.jit(sort_stage), *fields)
+    print(f"fused payload sort    {t:8.2f} ms", flush=True)
 
-    # pack alone
-    m_pad = ((cap + blend_pallas.CHUNK - 1) // blend_pallas.CHUNK) * blend_pallas.CHUNK
-    pack_jit = jax.jit(
-        lambda m2d, con, op, col: blend_pallas._pack_instances(
-            binned.gauss_id, m2d, con, op, col, m_pad
+    # --- stage 4: blend fwd (sort + kernel)
+    def fused_fwd(*fs):
+        out, _ = blend_pallas._fused_fwd(
+            plan.slot_rank, plan.slot_tile, tuple(fs), bg, C, grid_x, grid_y, 16
+        )
+        return out.tiles
+
+    t_fwd_all = timeit(jax.jit(fused_fwd), *fields)
+    print(f"blend fwd (sort+kern) {t_fwd_all:8.2f} ms", flush=True)
+
+    # --- stage 4b: forward kernel alone (on pre-sorted inputs)
+    out0, res0 = jax.jit(
+        lambda *fs: blend_pallas._fused_fwd(
+            plan.slot_rank, plan.slot_tile, tuple(fs), bg, C, grid_x, grid_y, 16
+        )
+    )(*fields)
+    gauss_s, tile_starts, inst, tiles_r, final_t_r, bg_pad, _, _ = res0
+    c_pad = blend_pallas._pad_channels(C)
+
+    fwd_kern = jax.jit(
+        lambda i, ts: blend_pallas._fwd_call(
+            i, ts, bg_pad,
+            num_tiles=grid_x * grid_y, grid_x=grid_x, tile_size=16, c_pad=c_pad,
+        )[0]
+    )
+    t = timeit(fwd_kern, inst, tile_starts)
+    print(f"  fwd kernel alone    {t:8.2f} ms", flush=True)
+
+    # --- stage 5: backward kernel alone
+    p = 256
+    num_tiles = grid_x * grid_y
+    g_tiles = jnp.ones((num_tiles, p, c_pad), jnp.float32)
+    g_ft = jnp.zeros((num_tiles, p, 1), jnp.float32)
+    bwd_kern = jax.jit(
+        lambda i, ts, gt: blend_pallas._bwd_call(
+            i, ts, gt, g_ft, tiles_r, final_t_r, bg_pad,
+            num_tiles=num_tiles, grid_x=grid_x, tile_size=16, c_pad=c_pad,
         )
     )
-    t = timeit(pack_jit, means2d_d, conics_d, opac_d, colors_d)
-    print(f"  pack_instances      {t:8.2f} ms")
+    t = timeit(bwd_kern, inst, tile_starts, g_tiles)
+    print(f"  bwd kernel alone    {t:8.2f} ms", flush=True)
 
-    # --- blend fwd+bwd
-    def blend_loss(m2d, con, op, col):
-        out = blend_pallas.blend(
-            binned.gauss_id, binned.tile_id, binned.tile_starts,
-            m2d, con, op, col, bg, grid_x, grid_y, 16,
+    # --- stage 6: bwd epilogue (sort + cumsum + boundary diff)
+    dinst0 = bwd_kern(inst, tile_starts, g_tiles)  # representative magnitudes
+
+    def epilogue(d):
+        rows = list(range(6)) + list(range(8, 8 + C))
+        tot = tile_starts[-1]
+        m = gauss_s.shape[0]
+        key = jnp.where(jnp.arange(m, dtype=jnp.int32) < tot, gauss_s, jnp.int32(n))
+        sorted_ = jax.lax.sort(
+            (key,) + tuple(d[r] for r in rows), num_keys=1, is_stable=True
+        )
+        skey = sorted_[0]
+        bound = jnp.searchsorted(skey, jnp.arange(n + 1, dtype=jnp.int32)).astype(jnp.int32)
+        stacked = jnp.stack(sorted_[1:], axis=0)
+        csum = jnp.concatenate(
+            [jnp.zeros((len(rows), 1), jnp.float32), jnp.cumsum(stacked, axis=1)],
+            axis=1,
+        ).T
+        return csum[bound[1:]] - csum[bound[:-1]]
+
+    t = timeit(jax.jit(epilogue), dinst0)
+    print(f"  bwd epilogue        {t:8.2f} ms", flush=True)
+
+    # --- blend fwd+bwd via custom vjp
+    def blend_loss(*fs):
+        out = blend_pallas.blend_fused(
+            plan.slot_rank, plan.slot_tile, tuple(fs), bg, grid_x, grid_y, 16
         )
         return jnp.sum(out.tiles)
 
-    blend_gr = jax.jit(jax.grad(blend_loss, argnums=(0, 1, 2, 3)))
-    t = timeit(blend_gr, means2d_d, conics_d, opac_d, colors_d)
-    print(f"blend fwd+bwd (full)  {t:8.2f} ms")
-
-    # --- epilogue pieces: the M-sized sort and segment reduction
-    key = binned.gauss_id
-
-    def sort_cost(d):
-        sorted_ = jax.lax.sort((key,) + tuple(d[i] for i in range(6 + C)), num_keys=1, is_stable=True)
-        return sorted_[1]
-
-    dinst = jnp.ones((6 + C, m_pad if m_pad == key.shape[0] else key.shape[0]), jnp.float32)
-    sort_jit = jax.jit(sort_cost)
-    t = timeit(sort_jit, dinst)
-    print(f"  bwd epilogue sort   {t:8.2f} ms  ({6+C} payload cols)")
-
-    def cumsum_cost(d):
-        return jnp.stack([jnp.cumsum(d[i]) for i in range(6 + C)])
-
-    t = timeit(jax.jit(cumsum_cost), dinst)
-    print(f"  bwd epilogue cumsum {t:8.2f} ms")
-
-    # gather alternative: one (M, F) row gather
-    inv = jnp.argsort(key)
-
-    def gather_cost(d):
-        return d.T[inv]
-
-    t = timeit(jax.jit(gather_cost), dinst)
-    print(f"  (M,F) row gather    {t:8.2f} ms  [epilogue alternative]")
+    blend_gr = jax.jit(jax.grad(blend_loss, argnums=tuple(range(6 + C))))
+    t = timeit(blend_gr, *fields)
+    print(f"blend fwd+bwd (full)  {t:8.2f} ms", flush=True)
 
     # --- end-to-end
     cfg = RasterConfig(capacity=cap, backend=args.backend)
@@ -182,7 +242,7 @@ def main():
         return out.color
 
     t = timeit(jax.jit(full_fwd), xyz, scales, rots, opac, colors)
-    print(f"e2e fwd               {t:8.2f} ms")
+    print(f"e2e fwd               {t:8.2f} ms", flush=True)
 
     def full_loss(xyz, sc, rot, op, col):
         return jnp.sum(full_fwd(xyz, sc, rot, op, col))
@@ -190,14 +250,14 @@ def main():
     grad_fn = jax.jit(jax.grad(full_loss, argnums=(0, 1, 2, 3, 4)))
     t = timeit(grad_fn, xyz, scales, rots, opac, colors)
     mpix = W * H / (t / 1e3) / 1e6
-    print(f"e2e fwd+bwd           {t:8.2f} ms   = {mpix:.1f} Mpix/s")
+    print(f"e2e fwd+bwd           {t:8.2f} ms   = {mpix:.1f} Mpix/s", flush=True)
 
     if args.trace:
         with jax.profiler.trace(args.trace):
             for _ in range(3):
                 out = grad_fn(xyz, scales, rots, opac, colors)
             jax.block_until_ready(out)
-        print(f"# trace written to {args.trace}")
+        print(f"# trace written to {args.trace}", flush=True)
 
 
 if __name__ == "__main__":
