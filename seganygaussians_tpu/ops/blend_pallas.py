@@ -654,6 +654,41 @@ def _blend_fwd(
     return out, res
 
 
+def segment_reduce_by_rank(dinst, key_ranks, rows, n, total):
+    """Deterministic instance→Gaussian gradient reduction WITHOUT scatter-add.
+
+    XLA scatter (segment_sum) serializes on TPU.  A stable sort of the
+    tile-sorted instances by Gaussian rank recovers *slot order*, in which
+    each Gaussian's instances are contiguous, so per-Gaussian sums are an
+    exclusive-cumsum difference at segment boundaries (measured: sort+cumsum
+    is ~3x faster than scatter-based reductions at M ~ 4M).  The cumsum is
+    transposed to (M+1, F') before boundary extraction so it is a *row*
+    gather — a lane-axis gather at N scale is slow on TPU.
+
+    Args: ``dinst`` (F, M) per-instance grads; ``key_ranks`` (M,) Gaussian
+    rank per instance; ``rows`` the field-row indices to reduce; ``total``
+    the live instance count (instances ≥ total sort to the padding segment).
+    Returns (N, len(rows)).
+    """
+    m = key_ranks.shape[0]
+    key = jnp.where(
+        jnp.arange(m, dtype=jnp.int32) < total, key_ranks, jnp.int32(n)
+    )
+    sorted_ = lax.sort(
+        (key,) + tuple(dinst[r] for r in rows), num_keys=1, is_stable=True
+    )
+    skey = sorted_[0]
+    bound = jnp.searchsorted(skey, jnp.arange(n + 1, dtype=jnp.int32)).astype(
+        jnp.int32
+    )
+    stacked = jnp.stack(sorted_[1:], axis=0)  # (F', M)
+    csum = jnp.concatenate(
+        [jnp.zeros((len(rows), 1), jnp.float32), jnp.cumsum(stacked, axis=1)],
+        axis=1,
+    ).T  # (M+1, F')
+    return csum[bound[1:]] - csum[bound[:-1]]  # (N, F')
+
+
 def _blend_bwd(grid_x, grid_y, tile_size, res, g):
     gauss_id, tile_starts, inst, tiles, final_t, bg_pad, n, c = res
     num_tiles = grid_x * grid_y
@@ -676,36 +711,15 @@ def _blend_bwd(grid_x, grid_y, tile_size, res, g):
     )  # (F, M_pad)
 
     m = gauss_id.shape[0]
-    # Deterministic instance→Gaussian gradient reduction WITHOUT scatter-add:
-    # XLA scatter (segment_sum) serializes on TPU.  A stable sort of the
-    # tile-sorted instances by Gaussian rank recovers *slot order*, in which
-    # each Gaussian's instances are contiguous, so per-Gaussian sums are an
-    # exclusive-cumsum difference at segment boundaries (measured: sort+cumsum
-    # is ~3x faster than scatter-based reductions at M ~ 4M).
     rows = list(range(6)) + list(range(COLOR_OFFSET, COLOR_OFFSET + c))
-    total = tile_starts[-1]
-    key = jnp.where(
-        jnp.arange(m, dtype=jnp.int32) < total, gauss_id, jnp.int32(n)
-    )
     if dinst.shape[1] != m:
         dinst = dinst[:, :m]
-    sorted_ = lax.sort(
-        (key,) + tuple(dinst[r] for r in rows), num_keys=1, is_stable=True
-    )
-    skey = sorted_[0]
-    bound = jnp.searchsorted(skey, jnp.arange(n + 1, dtype=jnp.int32)).astype(
-        jnp.int32
-    )
-    stacked = jnp.stack(sorted_[1:], axis=0)  # (F', M)
-    csum = jnp.concatenate(
-        [jnp.zeros((len(rows), 1), jnp.float32), jnp.cumsum(stacked, axis=1)], axis=1
-    )
-    seg = csum[:, bound[1:]] - csum[:, bound[:-1]]  # (F', n)
+    seg = segment_reduce_by_rank(dinst, gauss_id, rows, n, tile_starts[-1])
 
-    d_means2d = seg[0:2].T
-    d_conics = seg[2:5].T
-    d_opac = seg[5]
-    d_colors = seg[6 : 6 + c].T
+    d_means2d = seg[:, 0:2]
+    d_conics = seg[:, 2:5]
+    d_opac = seg[:, 5]
+    d_colors = seg[:, 6 : 6 + c]
 
     # d bg = Σ_pixels g ⊙ T_end.
     ft = final_t.reshape(num_tiles, p)
@@ -856,26 +870,8 @@ def _fused_bwd(c, grid_x, grid_y, tile_size, res, g):
         num_tiles=num_tiles, grid_x=grid_x, tile_size=tile_size, c_pad=c_pad,
     )  # (F, M)
 
-    # Instance → Gaussian-rank gradient reduction: stable sort by rank, then
-    # contiguous segment sums via cumsum + boundary diffs (design note in
-    # _blend_bwd).  Boundary extraction gathers *rows* of the transposed
-    # cumsum — a lane-axis gather at N scale is slow on TPU.
     rows = list(range(6)) + list(range(COLOR_OFFSET, COLOR_OFFSET + c))
-    total = tile_starts[-1]
-    key = jnp.where(jnp.arange(m, dtype=jnp.int32) < total, gauss_s, jnp.int32(n))
-    sorted_ = lax.sort(
-        (key,) + tuple(dinst[r] for r in rows), num_keys=1, is_stable=True
-    )
-    skey = sorted_[0]
-    bound = jnp.searchsorted(skey, jnp.arange(n + 1, dtype=jnp.int32)).astype(
-        jnp.int32
-    )
-    stacked = jnp.stack(sorted_[1:], axis=0)  # (F', M)
-    csum = jnp.concatenate(
-        [jnp.zeros((len(rows), 1), jnp.float32), jnp.cumsum(stacked, axis=1)], axis=1
-    ).T  # (M+1, F') — rows on sublanes so boundary extraction is a row gather
-    seg = csum[bound[1:]] - csum[bound[:-1]]  # (N, F')
-
+    seg = segment_reduce_by_rank(dinst, gauss_s, rows, n, tile_starts[-1])
     d_fields = tuple(seg[:, i] for i in range(len(rows)))
 
     ft = final_t.reshape(num_tiles, p)

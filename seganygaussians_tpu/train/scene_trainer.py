@@ -172,8 +172,19 @@ class SceneTrainer:
         # SH warmup state on resume (`train_scene.py:76-77`: +1 per 1000).
         self.active_sh_degree = min(self.sh_degree, start_iteration // 1000)
         t0 = time.time()
-        overflow_probe = None
+        # Per-iteration overflow watch: each step's overflow flag starts an
+        # async device→host copy immediately and is consumed one iteration
+        # later, so truncated-instance corruption is bounded to a single step
+        # (the reference reallocates per call, `rasterize_points.cu:27-33`)
+        # without a blocking sync in the hot loop.
+        overflow_inflight: list = []
         for it in range(start_iteration + 1, iterations + 1):
+            while overflow_inflight and (
+                len(overflow_inflight) > 1 or overflow_inflight[0].is_ready()
+            ):
+                if bool(overflow_inflight.pop(0)):
+                    self._grow_capacity()
+                    overflow_inflight.clear()
             # SH degree warmup (`train_scene.py:76-77`)
             if it % 1000 == 0 and self.active_sh_degree < self.sh_degree:
                 self.active_sh_degree += 1
@@ -183,17 +194,20 @@ class SceneTrainer:
                 jnp.asarray(it, jnp.int32), self.spatial_lr_scale,
                 self.active_sh_degree, h, self.config,
             )
-            overflow_probe = metrics["overflow"]
+            probe = metrics["overflow"]
+            probe.copy_to_host_async()
+            overflow_inflight.append(probe)
             # Densification — gating matches `train_scene.py:124-134`:
             # the opacity reset is NOT nested under the densify-from gate, so
             # white-bg scenes reset at exactly it == densify_from_iter and
             # periodic resets run for the whole `it < densify_until` window.
             if it < h.densify_until_iter:
                 if it > h.densify_from_iter and it % h.densification_interval == 0:
-                    # Natural sync point (once per 100 iters): act on overflow
-                    # before densification grows the instance count further.
-                    if bool(overflow_probe):
+                    # Sync point before densification grows the instance count
+                    # further: drain any still-pending overflow flags.
+                    if any(bool(f) for f in overflow_inflight):
                         self._grow_capacity()
+                    overflow_inflight.clear()
                     self.key, sub = jax.random.split(self.key)
                     max_screen = 20.0 if it > h.opacity_reset_interval else 0.0
                     self.state = densify_step(
@@ -203,8 +217,6 @@ class SceneTrainer:
                     self.white_background and it == h.densify_from_iter
                 ):
                     self.state = gm.reset_opacity(self.state)
-            elif it % 100 == 0 and bool(overflow_probe):
-                self._grow_capacity()
             if self.on_iteration:
                 self.on_iteration(self, it, metrics)
             if log_every and it % log_every == 0:

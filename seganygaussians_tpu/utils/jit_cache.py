@@ -12,7 +12,11 @@ from __future__ import annotations
 
 import os
 
-_DEFAULT_DIR = os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
+# Derived, machine-specific data — keep it OUT of the repo checkout by
+# default (under ~/.cache) so it never lands in version control.
+_DEFAULT_DIR = os.path.join(
+    os.path.expanduser("~"), ".cache", "seganygaussians_tpu", "jax_cache"
+)
 
 
 def enable_persistent_cache(path: str | None = None) -> str:

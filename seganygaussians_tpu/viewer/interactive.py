@@ -99,9 +99,14 @@ class SagaSession:
         self.qt = scale_qt
         self.config = config
         self.key = jax.random.PRNGKey(seed)
-        self.orbit = OrbitState(center=np.asarray(
-            jnp.mean(scene_state.params.xyz[scene_state.alive.argmax():], axis=0)
-        ) * 0.0)
+        # Orbit around the alive-point centroid (the GUI's initial framing;
+        # `saga_gui.py:70-177` starts its OrbitCamera at the scene center).
+        alive = scene_state.alive
+        denom = jnp.maximum(jnp.sum(alive), 1)
+        centroid = jnp.sum(
+            jnp.where(alive[:, None], scene_state.params.xyz, 0.0), axis=0
+        ) / denom
+        self.orbit = OrbitState(center=np.asarray(centroid))
         self.scale = 0.5  # slider value, already in [0, 1] quantile space
         self.threshold = 0.75  # `prompt_segmenting.ipynb` cell 24
         self.chosen_features: list[jnp.ndarray] = []

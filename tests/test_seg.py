@@ -160,3 +160,96 @@ def test_lift_scores_to_3d(rng):
     # left-side points (x<0 project to left half) selected, right side not
     assert m[:15].mean() > 0.8
     assert m[25:40].mean() < 0.2
+
+
+class _StubEncoder:
+    """Records crops; returns deterministic per-crop embeddings."""
+
+    dim = 8
+
+    def __init__(self):
+        self.crops = []
+
+    def encode_image(self, images):
+        self.crops.extend(images)
+        out = np.stack(
+            [np.full(self.dim, float(np.asarray(im).mean()), np.float32)
+             for im in images]
+        )
+        return out / np.linalg.norm(out, axis=-1, keepdims=True).clip(1e-9)
+
+
+def test_mask_clip_features_pipeline():
+    """Blank → bbox-crop → encode logic (`clip_utils/__init__.py:91-191`)
+    without CLIP weights: crops match the mask bboxes, background blanked,
+    empty masks get zero features."""
+    from seganygaussians_tpu.seg import clip_image
+
+    img = np.zeros((16, 20, 3), np.uint8)
+    img[2:6, 3:9] = 200  # object A
+    img[10:14, 12:18] = 120  # object B
+    masks = np.zeros((3, 16, 20), np.float32)
+    masks[0, 2:6, 3:9] = 1.0
+    masks[1, 10:14, 12:18] = 1.0
+    # masks[2] stays empty
+    enc = _StubEncoder()
+    feats = clip_image.mask_clip_features(img, masks, enc)
+    assert feats.shape == (3, 8)
+    assert len(enc.crops) == 2
+    assert enc.crops[0].shape == (4, 6, 3)  # tight bbox of mask 0
+    assert enc.crops[1].shape == (4, 6, 3)
+    # background==0 → crop equals the object pixels exactly
+    np.testing.assert_allclose(enc.crops[0], 200.0)
+    np.testing.assert_allclose(feats[2], 0.0)  # empty mask → zero feature
+    assert np.all(np.abs(np.linalg.norm(feats[:2], axis=-1) - 1.0) < 1e-5)
+
+
+def test_mask_clip_features_lowres_masks_and_background():
+    """Masks at half resolution are upsampled + binarized; background=1
+    blanks to white (`get_clip_features` background flag)."""
+    from seganygaussians_tpu.seg import clip_image
+
+    img = np.full((8, 8, 3), 50, np.uint8)
+    masks = np.zeros((1, 4, 4), np.float32)
+    masks[0, 1:3, 1:3] = 1.0  # upsamples to roughly the center block
+    enc = _StubEncoder()
+    feats = clip_image.mask_clip_features(img, masks, enc, background=1.0)
+    assert feats.shape == (1, 8)
+    crop = enc.crops[0]
+    assert crop.min() == 50.0  # object pixels
+    assert crop.shape[0] >= 2 and crop.shape[1] >= 2
+
+
+def test_extract_scene_clip_features_sidecars(tmp_path):
+    """Scene sweep writes reference-compatible clip_features/<image>.pt."""
+    import torch
+    from PIL import Image
+
+    from seganygaussians_tpu.seg import clip_image
+
+    root = tmp_path / "scene"
+    (root / "images").mkdir(parents=True)
+    (root / "sam_masks").mkdir()
+    img = np.random.default_rng(0).integers(0, 255, (12, 16, 3), dtype=np.uint8)
+    Image.fromarray(img).save(root / "images" / "v0.png")
+    Image.fromarray(img).save(root / "images" / "v1.png")  # no sidecar
+    masks = np.zeros((2, 12, 16), bool)
+    masks[0, 2:8, 3:10] = True
+    masks[1, 5:11, 8:15] = True
+    torch.save(torch.tensor(masks), root / "sam_masks" / "v0.pt")
+
+    written = clip_image.extract_scene_clip_features(
+        str(root), _StubEncoder(), log=lambda *a: None
+    )
+    assert len(written) == 1
+    feats = torch.load(written[0], weights_only=False)
+    assert tuple(feats.shape) == (2, 8)
+
+
+def test_clip_encoder_raises_without_weights():
+    """ClipEncoder must fail with actionable guidance when weights are
+    unavailable (zero-egress environment)."""
+    import pytest
+
+    with pytest.raises(RuntimeError, match="clip_features"):
+        clip_text.ClipEncoder("definitely/not-a-local-model")

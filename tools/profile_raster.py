@@ -40,7 +40,8 @@ def sync(x):
 def timeit(fn, *args, iters=ITERS):
     import jax
 
-    out = fn(*args)  # compile + warmup
+    for _ in range(3):  # compile + 2 true warmup runs (first-call overhead)
+        out = fn(*args)
     leaves = jax.tree.leaves(out)
     sync(leaves[0])
     t0 = time.perf_counter()
@@ -48,7 +49,16 @@ def timeit(fn, *args, iters=ITERS):
         out = fn(*args)
     leaves = jax.tree.leaves(out)
     sync(leaves[0])
-    return max((time.perf_counter() - t0) * 1e3 - _SYNC_MS, 0.0) / iters
+    raw_ms = (time.perf_counter() - t0) * 1e3
+    return max(raw_ms - _SYNC_MS, 0.0) / iters, raw_ms
+
+
+def report(label, timed):
+    ms, raw_ms = timed
+    # A stage whose raw total is within ~2x of the sync round-trip is below
+    # the measurement floor — say so instead of printing a misleading 0.00.
+    floor = " (below measurement floor)" if raw_ms < 2.0 * max(_SYNC_MS, 1e-9) else ""
+    print(f"{label:<22}{ms:8.2f} ms{floor}", flush=True)
 
 
 def measure_sync_overhead():
@@ -125,14 +135,12 @@ def main():
     grid_y = (H + 15) // 16
     print(f"# N={n} instances={total} capacity={cap} tiles={grid_x*grid_y} C={C}", flush=True)
 
-    t = timeit(prep_fn, xyz, scales, rots)
-    print(f"preprocess            {t:8.2f} ms", flush=True)
+    report("preprocess", timeit(prep_fn, xyz, scales, rots))
 
     # --- stage 2: slot expansion (no sort)
     plan_fn = jax.jit(lambda p: expand_slots(p, grid_x, grid_y, cap))
     plan = plan_fn(prep)
-    t = timeit(plan_fn, prep)
-    print(f"expand_slots          {t:8.2f} ms", flush=True)
+    report("expand_slots", timeit(plan_fn, prep))
 
     # depth-sorted field columns
     perm = plan.depth_perm
@@ -152,8 +160,7 @@ def main():
             plan.slot_rank, plan.slot_tile, expanded, n, grid_x * grid_y
         )
 
-    t = timeit(jax.jit(sort_stage), *fields)
-    print(f"fused payload sort    {t:8.2f} ms", flush=True)
+    report("fused payload sort", timeit(jax.jit(sort_stage), *fields))
 
     # --- stage 4: blend fwd (sort + kernel)
     def fused_fwd(*fs):
@@ -162,8 +169,7 @@ def main():
         )
         return out.tiles
 
-    t_fwd_all = timeit(jax.jit(fused_fwd), *fields)
-    print(f"blend fwd (sort+kern) {t_fwd_all:8.2f} ms", flush=True)
+    report("blend fwd (sort+kern)", timeit(jax.jit(fused_fwd), *fields))
 
     # --- stage 4b: forward kernel alone (on pre-sorted inputs)
     out0, res0 = jax.jit(
@@ -180,8 +186,7 @@ def main():
             num_tiles=grid_x * grid_y, grid_x=grid_x, tile_size=16, c_pad=c_pad,
         )[0]
     )
-    t = timeit(fwd_kern, inst, tile_starts)
-    print(f"  fwd kernel alone    {t:8.2f} ms", flush=True)
+    report("  fwd kernel alone", timeit(fwd_kern, inst, tile_starts))
 
     # --- stage 5: backward kernel alone
     p = 256
@@ -194,31 +199,20 @@ def main():
             num_tiles=num_tiles, grid_x=grid_x, tile_size=16, c_pad=c_pad,
         )
     )
-    t = timeit(bwd_kern, inst, tile_starts, g_tiles)
-    print(f"  bwd kernel alone    {t:8.2f} ms", flush=True)
+    report("  bwd kernel alone", timeit(bwd_kern, inst, tile_starts, g_tiles))
 
     # --- stage 6: bwd epilogue (sort + cumsum + boundary diff)
     dinst0 = bwd_kern(inst, tile_starts, g_tiles)  # representative magnitudes
 
     def epilogue(d):
-        rows = list(range(6)) + list(range(8, 8 + C))
-        tot = tile_starts[-1]
-        m = gauss_s.shape[0]
-        key = jnp.where(jnp.arange(m, dtype=jnp.int32) < tot, gauss_s, jnp.int32(n))
-        sorted_ = jax.lax.sort(
-            (key,) + tuple(d[r] for r in rows), num_keys=1, is_stable=True
+        rows = list(range(6)) + list(
+            range(blend_pallas.COLOR_OFFSET, blend_pallas.COLOR_OFFSET + C)
         )
-        skey = sorted_[0]
-        bound = jnp.searchsorted(skey, jnp.arange(n + 1, dtype=jnp.int32)).astype(jnp.int32)
-        stacked = jnp.stack(sorted_[1:], axis=0)
-        csum = jnp.concatenate(
-            [jnp.zeros((len(rows), 1), jnp.float32), jnp.cumsum(stacked, axis=1)],
-            axis=1,
-        ).T
-        return csum[bound[1:]] - csum[bound[:-1]]
+        return blend_pallas.segment_reduce_by_rank(
+            d, gauss_s, rows, n, tile_starts[-1]
+        )
 
-    t = timeit(jax.jit(epilogue), dinst0)
-    print(f"  bwd epilogue        {t:8.2f} ms", flush=True)
+    report("  bwd epilogue", timeit(jax.jit(epilogue), dinst0))
 
     # --- blend fwd+bwd via custom vjp
     def blend_loss(*fs):
@@ -228,8 +222,7 @@ def main():
         return jnp.sum(out.tiles)
 
     blend_gr = jax.jit(jax.grad(blend_loss, argnums=tuple(range(6 + C))))
-    t = timeit(blend_gr, *fields)
-    print(f"blend fwd+bwd (full)  {t:8.2f} ms", flush=True)
+    report("blend fwd+bwd (full)", timeit(blend_gr, *fields))
 
     # --- end-to-end
     cfg = RasterConfig(capacity=cap, backend=args.backend)
@@ -241,14 +234,13 @@ def main():
         )
         return out.color
 
-    t = timeit(jax.jit(full_fwd), xyz, scales, rots, opac, colors)
-    print(f"e2e fwd               {t:8.2f} ms", flush=True)
+    report("e2e fwd", timeit(jax.jit(full_fwd), xyz, scales, rots, opac, colors))
 
     def full_loss(xyz, sc, rot, op, col):
         return jnp.sum(full_fwd(xyz, sc, rot, op, col))
 
     grad_fn = jax.jit(jax.grad(full_loss, argnums=(0, 1, 2, 3, 4)))
-    t = timeit(grad_fn, xyz, scales, rots, opac, colors)
+    t, _raw = timeit(grad_fn, xyz, scales, rots, opac, colors)
     mpix = W * H / (t / 1e3) / 1e6
     print(f"e2e fwd+bwd           {t:8.2f} ms   = {mpix:.1f} Mpix/s", flush=True)
 
