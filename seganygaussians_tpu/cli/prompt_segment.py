@@ -5,9 +5,11 @@ scale gate → render the feature map for a chosen training view → take the
 prompt pixel's scale-gated feature → per-Gaussian similarity threshold →
 segment → save `segmentation_res/final_mask.pt` + segmented PLY.
 
-Text-prompt flow (cells 41-54): score precomputed per-mask CLIP features
-against the prompt (canonical negatives), lift the per-view 2D score maps to
-a 3D mask via mask-render backprop.
+Text-prompt flow (cells 41-54): the full language-driven pipeline in
+``seg/language.py`` — per-view mask-pooled rendered features + anchor
+identifiers, mask-IoU distance clustering, 87-template CLIP scoring to pick
+clusters and scales, per-Gaussian similarity threshold 0.85.  The older
+direct score-map lifting remains available via ``--simple_lift``.
 """
 
 from __future__ import annotations
@@ -43,6 +45,13 @@ def main(argv=None):
     parser.add_argument("--out", type=str, default="./segmentation_res")
     parser.add_argument("--backend", type=str, default="auto")
     parser.add_argument("--raster_capacity", type=int, default=1 << 20)
+    parser.add_argument(
+        "--simple_lift", action="store_true",
+        help="text path: direct 2D score-map lifting instead of the full "
+             "cluster-graph pipeline",
+    )
+    parser.add_argument("--text_threshold", type=float, default=0.85,
+                        help="final similarity threshold (notebook cell 53)")
     args = parser.parse_args(argv)
 
     cfg = extract(ModelConfig, args)
@@ -95,26 +104,70 @@ def main(argv=None):
             threshold=args.threshold, alive=scene.gaussians.alive,
         )
     elif args.text is not None:
-        # text → per-mask CLIP scores (precomputed sidecars) → 2D score maps
-        # → 3D mask (`prompt_segmenting.ipynb` cells 41-54, simplified:
-        # direct score lifting instead of the mask-identifier cluster graph).
         enc = clip_text.ClipEncoder()
         pos = jnp.asarray(enc.encode_text_with_template([args.text]))
         negs = jnp.asarray(enc.encode_text(list(clip_text.CANONICAL_NEGATIVES)))
-        views, score_maps = [], []
-        for cam in cams:
-            feats = cam.clip_features
-            masks = cam.sam_masks
-            if feats is None or masks is None:
-                continue
-            s = clip_text.get_scores(jnp.asarray(feats), pos, negs)
-            score_maps.append(
-                clip_text.scores_to_pixel_map(s, jnp.asarray(masks, jnp.float32))
+        if args.simple_lift:
+            # Direct lifting: per-mask scores → 2D score maps → mask-render
+            # backprop (`clip_utils/__init__.py:291-330` get_3d_mask).
+            views, score_maps = [], []
+            for cam in cams:
+                feats = cam.clip_features
+                masks = cam.sam_masks
+                if feats is None or masks is None:
+                    continue
+                s = clip_text.get_scores(jnp.asarray(feats), pos, negs)
+                score_maps.append(
+                    clip_text.scores_to_pixel_map(
+                        s, jnp.asarray(masks, jnp.float32)
+                    )
+                )
+                views.append(cam)
+            mask3d = clip_text.lift_scores_to_3d(
+                views, score_maps, scene.gaussians, config=raster_cfg
             )
-            views.append(cam)
-        mask3d = clip_text.lift_scores_to_3d(
-            views, score_maps, scene.gaussians, config=raster_cfg
-        )
+        else:
+            # Full language-driven pipeline (notebook cells 41-54).
+            from seganygaussians_tpu.ops.rasterize import rasterize
+            from seganygaussians_tpu.seg import language
+
+            # Scale transform fitted on all training-mask scales, matching
+            # the training flow (`train_contrastive_feature.py:108-130`).
+            all_scales = np.concatenate(
+                [np.asarray(c.mask_scales).reshape(-1)
+                 for c in cams if c.mask_scales is not None]
+            )
+            qt = fit_quantile_transform(jnp.asarray(all_scales))
+
+            feats_n = fs.point_features / jnp.linalg.norm(
+                fs.point_features, axis=-1, keepdims=True
+            ).clip(1e-9)  # norm_point_features=True (cell 42)
+
+            def render_feature_map(cam):
+                out = rasterize(
+                    fs.geom.xyz, fgm.get_opacity(fs.geom)[:, 0], cam.params,
+                    colors=feats_n, scales=fgm.get_scaling(fs.geom),
+                    rotations=fgm.get_rotation(fs.geom),
+                    bg=jnp.zeros((feats_n.shape[-1],), jnp.float32),
+                    active_mask=fs.geom.alive, config=raster_cfg,
+                )
+                return out.color
+
+            def text_scores(embeds):
+                return np.asarray(
+                    clip_text.get_scores(jnp.asarray(embeds), pos, negs)
+                )
+
+            res = language.text_segment(
+                render_feature_map, cams, fs.point_features, gate, qt,
+                text_scores, key=jax.random.PRNGKey(0),
+                threshold=args.text_threshold,
+                alive=scene.gaussians.alive,
+            )
+            mask3d = res.mask3d
+            print(f"clusters: {len(set(res.labels[res.labels >= 0]))} "
+                  f"({int((res.labels < 0).sum())} noise masks), "
+                  f"query scales {res.query_scales}")
     else:
         parser.error("provide --point X Y or --text 'prompt'")
 
