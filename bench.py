@@ -103,12 +103,19 @@ def main():
     float(jnp.sum(g))
     assert not bool(overflow), "instance capacity overflow — raise cap"
 
-    iters = 20 if on_tpu else 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        val, overflow, g = step(p)
-    float(jnp.sum(g))
-    dt = (time.perf_counter() - t0) / iters
+    # Median of 5 timed blocks: single blocks vary with relay readback
+    # scheduling (the 2.2-vs-5.66 spread across rounds 1-3 — BASELINE.md).
+    iters = 10 if on_tpu else 3
+    blocks = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            val, overflow, g = step(p)
+        float(jnp.sum(g))
+        blocks.append((time.perf_counter() - t0) / iters)
+    dt = float(np.median(blocks))
+    print(f"# block times (s): {[round(b, 4) for b in blocks]}",
+          file=sys.stderr, flush=True)
 
     mpix_s = (W * H / dt) / 1e6
     print(
