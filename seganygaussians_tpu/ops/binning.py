@@ -154,6 +154,162 @@ def expand_slots(
     )
 
 
+class InstancePlan(NamedTuple):
+    """Sort-free binning: analytic (tile, depth) destinations.
+
+    ``lax.sort`` at instance scale is the pipeline bottleneck (193 ms of a
+    304 ms frame for a 1 key + 9 payload sort at M=2.6M — BASELINE.md round-4
+    profile).  But no comparison sort is needed: instances are generated in
+    depth order (slots enumerate depth-ranked Gaussians), so (tile, depth)
+    order is a *stable partition by tile*, and the destination of slot i is
+    closed-form:
+
+        dest[i] = tile_starts[t_i] + #{Gaussians before g_i covering t_i}
+
+    because every Gaussian covers each tile at most once and its footprint is
+    an axis-aligned tile rectangle.  The prefix-coverage count splits into a
+    per-block term (cumulative per-tile histograms of Gaussian blocks — MXU
+    matmuls of separable x/y interval indicators) plus a within-block term
+    (≤ BLOCK bound comparisons per instance on the VPU, reading one packed
+    bounds row per instance via a block-coherent gather).  Everything is
+    histograms, cumsums, one permutation scatter and table gathers — no sort.
+    """
+
+    sorted_gauss: jnp.ndarray  # (M,) int32: sorted position → depth rank
+    tile_starts: jnp.ndarray  # (T+1,) int32
+    dest: jnp.ndarray  # (M,) int32: slot → sorted position
+    offsets: jnp.ndarray  # (N,) int32: per-depth-rank slot range start
+    depth_perm: jnp.ndarray  # (N,) int32
+    num_instances: jnp.ndarray  # () int32
+    overflow: jnp.ndarray  # () bool
+
+
+_RANK_BLOCK = 16  # Gaussians per histogram block (bounds row = 2·B int32)
+
+
+def plan_instances(
+    prep: Preprocessed, grid_x: int, grid_y: int, capacity: int,
+    block: int = _RANK_BLOCK,
+) -> InstancePlan:
+    """Sort-free replacement for :func:`bin_gaussians` (see InstancePlan)."""
+    assert grid_x < 1024 and grid_y < 1024, "packed bounds hold 10 bits"
+    n = prep.tiles_touched.shape[0]
+    num_tiles = grid_x * grid_y
+
+    # Depth-sort Gaussians (an N-sized sort — cheap) exactly as expand_slots.
+    depth_key = jnp.where(prep.valid, prep.depths, jnp.inf)
+    _, depth_perm = lax.sort_key_val(depth_key, jnp.arange(n, dtype=jnp.int32))
+    tiles = prep.tiles_touched[depth_perm]
+    rect_min = prep.rect_min[depth_perm]
+    rect_max = prep.rect_max[depth_perm]
+
+    cum = jnp.cumsum(tiles)
+    total = cum[-1]
+    offsets = cum - tiles
+
+    # --- per-slot (tile, owning-rank) coordinates, as in expand_slots
+    gauss_rank = _expand_int(jnp.arange(n, dtype=jnp.int32), offsets, capacity)
+    gauss_rank = jnp.clip(gauss_rank, 0, n - 1)
+    w_g = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
+    packed_rect = rect_min[:, 0] | (rect_min[:, 1] << 10) | (w_g << 20)
+    table = jnp.stack([offsets, packed_rect], axis=-1)
+    per_slot = table[gauss_rank]  # ascending gather: coherent
+    off_slot = per_slot[:, 0]
+    pk = per_slot[:, 1]
+    x0s = pk & 1023
+    y0s = (pk >> 10) & 1023
+    wws = jnp.maximum(pk >> 20, 1)
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    r = slots - off_slot
+    tx = x0s + r % wws
+    ty = y0s + r // wws
+    tile = ty * grid_x + tx
+    in_range = slots < total
+
+    # --- block histograms of rect coverage (MXU): hist[b, ty, tx]
+    contrib = tiles > 0
+    n_pad = ((n + block - 1) // block) * block
+    nb = n_pad // block
+    xi = lax.broadcasted_iota(jnp.int32, (n, grid_x), 1)
+    yi = lax.broadcasted_iota(jnp.int32, (n, grid_y), 1)
+    xind = (
+        (xi >= rect_min[:, 0:1]) & (xi < rect_max[:, 0:1]) & contrib[:, None]
+    ).astype(jnp.float32)
+    yind = (
+        (yi >= rect_min[:, 1:2]) & (yi < rect_max[:, 1:2]) & contrib[:, None]
+    ).astype(jnp.float32)
+    if n_pad != n:
+        xind = jnp.pad(xind, ((0, n_pad - n), (0, 0)))
+        yind = jnp.pad(yind, ((0, n_pad - n), (0, 0)))
+    hist = jnp.einsum(
+        "nby,nbx->nyx",
+        yind.reshape(nb, block, grid_y),
+        xind.reshape(nb, block, grid_x),
+        preferred_element_type=jnp.float32,
+    )  # exact: counts < 2^24
+    hist_flat = hist.reshape(nb, num_tiles)
+    base = jnp.cumsum(hist_flat, axis=0) - hist_flat  # exclusive over blocks
+    counts = (base[-1] + hist_flat[-1]).astype(jnp.int32)  # (T,)
+    # Clamp to capacity: on overflow the deepest instances are truncated
+    # (overflow flag → host grows the budget and recompiles) and the kernel
+    # must never be pointed past the instance buffer.
+    tile_starts = jnp.minimum(
+        jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)]),
+        capacity,
+    )
+
+    # --- within-block prefix coverage per instance (VPU)
+    b_i = gauss_rank // block
+    l_i = gauss_rank % block
+    packx = rect_min[:, 0] | (rect_max[:, 0] << 10)
+    packy = rect_min[:, 1] | (rect_max[:, 1] << 10)
+    inval = jnp.int32(1023)  # x0=1023,x1=0 ⇒ never covers
+    packx = jnp.where(contrib, packx, inval)
+    packy = jnp.where(contrib, packy, inval)
+    if n_pad != n:
+        packx = jnp.pad(packx, (0, n_pad - n), constant_values=int(inval))
+        packy = jnp.pad(packy, (0, n_pad - n), constant_values=int(inval))
+    packx = packx.reshape(nb, block)
+    packy = packy.reshape(nb, block)
+    rowx = packx[b_i]  # (M, B) block-coherent gathers
+    rowy = packy[b_i]
+    bx0 = rowx & 1023
+    bx1 = rowx >> 10
+    by0 = rowy & 1023
+    by1 = rowy >> 10
+    lane = lax.broadcasted_iota(jnp.int32, (1, block), 1)
+    cover = (
+        (tx[:, None] >= bx0)
+        & (tx[:, None] < bx1)
+        & (ty[:, None] >= by0)
+        & (ty[:, None] < by1)
+        & (lane < l_i[:, None])
+    )
+    rank_wb = jnp.sum(cover.astype(jnp.int32), axis=1)
+
+    # --- assemble destinations
+    base_g = base.reshape(-1).astype(jnp.int32)[
+        jnp.clip(b_i * num_tiles + tile, 0, nb * num_tiles - 1)
+    ]
+    dest = tile_starts[jnp.clip(tile, 0, num_tiles)] + base_g + rank_wb
+    dest = jnp.where(in_range, dest, slots)  # padding slots: identity
+
+    sorted_gauss = (
+        jnp.zeros((capacity,), jnp.int32)
+        .at[dest]
+        .set(gauss_rank, mode="drop", unique_indices=True)
+    )
+    return InstancePlan(
+        sorted_gauss=sorted_gauss,
+        tile_starts=tile_starts,
+        dest=dest,
+        offsets=offsets,
+        depth_perm=depth_perm,
+        num_instances=jnp.minimum(total, capacity),
+        overflow=total > capacity,
+    )
+
+
 def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int, capacity: int) -> Binned:
     """Expand Gaussians into per-tile instances sorted by (tile, depth)."""
     n = prep.tiles_touched.shape[0]

@@ -817,9 +817,14 @@ def _fused_fwd(slot_rank, slot_tile, fields, bg, c, grid_x, grid_y, tile_size):
         slot_tile = jnp.pad(slot_tile, (0, pad), constant_values=num_tiles)
         m += pad
 
-    # Slot order is ascending in depth rank → these gathers are the
-    # memory-coherent fast path (~40x faster than random order, measured).
-    expanded = tuple(f[slot_rank] for f in fields)
+    # ONE (M, F) row gather packs every field column at once — measured 6x
+    # cheaper than F separate (M,) column gathers (round-4 microbench:
+    # (M,8) row gather 9.6 ms vs ~18 ms per column; the per-column variant
+    # was 80% of the old 193 ms "sort" stage).  slot_rank is ascending →
+    # memory-coherent.
+    table = jnp.stack(fields, axis=-1)  # (N, F)
+    packed = table[slot_rank]  # (M, F)
+    expanded = tuple(packed[:, i] for i in range(len(fields)))
     gauss_s, tile_starts, payload = _fused_sort(
         slot_rank, slot_tile, expanded, n, num_tiles
     )
@@ -889,6 +894,128 @@ _fused_cvjp.defvjp(
     lambda *args: _fused_fwd(*args),
     _fused_bwd,
 )
+
+
+# ---------------------------------------------------------------------------
+# Sort-free blend: consume analytic (tile, depth) destinations
+# ---------------------------------------------------------------------------
+#
+# `binning.plan_instances` computes each instance's sorted position in closed
+# form (no lax.sort — the 193 ms bottleneck of the fused path, BASELINE.md
+# round-4 profile).  The forward packs the instance matrix with small
+# N-table gathers indexed by the sorted Gaussian ranks; the backward reduces
+# per-instance gradients straight to Gaussians with one deterministic
+# scatter-add per field row — the sort+cumsum epilogue disappears too.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _sortfree_cvjp(sorted_gauss, tile_starts, fields, bg, c, grid_x, grid_y, tile_size):
+    out, _ = _sortfree_fwd(
+        sorted_gauss, tile_starts, fields, bg, c, grid_x, grid_y, tile_size
+    )
+    return out
+
+
+def _sortfree_fwd(sorted_gauss, tile_starts, fields, bg, c, grid_x, grid_y, tile_size):
+    n = fields[0].shape[0]
+    num_tiles = grid_x * grid_y
+    c_pad = _pad_channels(c)
+    m = orig_m = sorted_gauss.shape[0]
+    if m % CHUNK:
+        pad = CHUNK - m % CHUNK
+        sorted_gauss = jnp.pad(sorted_gauss, (0, pad))
+        m += pad
+
+    # Pack in sorted order: each field column is an N-table (cache-resident)
+    # gather by the sorted Gaussian rank.
+    expanded = tuple(f[sorted_gauss] for f in fields)
+    zeros_m = jnp.zeros((m,), jnp.float32)
+    rows = (
+        list(expanded[:6])
+        + [zeros_m, zeros_m]
+        + list(expanded[6 : 6 + c])
+        + [zeros_m] * (c_pad - c)
+    )
+    inst = jnp.stack(rows, axis=0)  # (F, M)
+
+    bg_pad = jnp.pad(bg.reshape(1, -1), ((0, 0), (0, c_pad - c)))
+    tiles, final_t, n_contrib = _fwd_call(
+        inst, tile_starts, bg_pad,
+        num_tiles=num_tiles, grid_x=grid_x, tile_size=tile_size, c_pad=c_pad,
+    )
+    p = tile_size * tile_size
+    out = BlendOutput(
+        tiles=tiles[:, :, :c],
+        final_t=final_t.reshape(num_tiles, p),
+        n_contrib=n_contrib.reshape(num_tiles, p),
+    )
+    res = (sorted_gauss, tile_starts, inst, tiles, final_t, bg_pad, n, orig_m)
+    return out, res
+
+
+def _sortfree_bwd(c, grid_x, grid_y, tile_size, res, g):
+    sorted_gauss, tile_starts, inst, tiles, final_t, bg_pad, n, orig_m = res
+    num_tiles = grid_x * grid_y
+    c_pad = _pad_channels(c)
+    p = tile_size * tile_size
+
+    g_tiles = g.tiles
+    g_final_t = g.final_t
+    if g_tiles is None:
+        g_tiles = jnp.zeros((num_tiles, p, c), jnp.float32)
+    if g_final_t is None:
+        g_final_t = jnp.zeros((num_tiles, p), jnp.float32)
+    if c_pad != c:
+        g_tiles = jnp.pad(g_tiles, ((0, 0), (0, 0), (0, c_pad - c)))
+
+    dinst = _bwd_call(
+        inst, tile_starts, g_tiles,
+        g_final_t.reshape(num_tiles, p, 1), tiles, final_t, bg_pad,
+        num_tiles=num_tiles, grid_x=grid_x, tile_size=tile_size, c_pad=c_pad,
+    )  # (F, M)
+
+    # Instance → Gaussian reduction: deterministic scatter-add per field row
+    # (XLA scatter on TPU applies updates in a fixed order).  Rows past the
+    # live instance count are zero (the backward kernel masks out-of-segment
+    # lanes and never writes post-saturation chunks), so no masking needed.
+    rows = list(range(6)) + list(range(COLOR_OFFSET, COLOR_OFFSET + c))
+    d_fields = tuple(
+        jnp.zeros((n,), jnp.float32).at[sorted_gauss].add(dinst[r], mode="drop")
+        for r in rows
+    )
+
+    ft = final_t.reshape(num_tiles, p)
+    d_bg = (
+        jnp.einsum("tpc,tp->c", g.tiles, ft)
+        if g.tiles is not None
+        else jnp.zeros((c,), jnp.float32)
+    )
+
+    zero_g = np.zeros((orig_m,), jax.dtypes.float0)
+    zero_t = np.zeros(tile_starts.shape, jax.dtypes.float0)
+    return (zero_g, zero_t, d_fields, d_bg)
+
+
+_sortfree_cvjp.defvjp(
+    lambda *args: _sortfree_fwd(*args),
+    _sortfree_bwd,
+)
+
+
+def blend_sortfree(
+    sorted_gauss, tile_starts, fields, bg, grid_x, grid_y, tile_size
+) -> BlendOutput:
+    """Sort-free blend over an ``InstancePlan``'s analytic destinations.
+
+    ``fields`` is a tuple of (N,) f32 columns in DEPTH-SORTED Gaussian order
+    (mean_x, mean_y, conic_a, conic_b, conic_c, opacity, color_0, ...);
+    ``sorted_gauss``/``tile_starts`` come from ``binning.plan_instances``.
+    Gradients flow to each field column and ``bg``.
+    """
+    c = len(fields) - 6
+    return _sortfree_cvjp(
+        sorted_gauss, tile_starts, tuple(fields), bg, c, grid_x, grid_y, tile_size
+    )
 
 
 def blend_fused(

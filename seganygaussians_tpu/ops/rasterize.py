@@ -126,14 +126,22 @@ def rasterize(
     grid_y = (camera.height + config.tile_size - 1) // config.tile_size
 
     backend = _select_backend(config.backend)
-    if backend == "pallas":
-        # Fused bin-sort + pack + blend: the (tile, depth) sort carries the
-        # per-Gaussian field columns as payloads, replacing the separate
-        # instance-sized pack gather (see blend_pallas.blend_fused).
+    if backend in ("pallas", "pallas_sortfree"):
         from seganygaussians_tpu.ops import blend_pallas
-        from seganygaussians_tpu.ops.binning import expand_slots
 
-        plan = expand_slots(prep, grid_x, grid_y, config.capacity)
+        if backend == "pallas_sortfree":
+            # Analytic (tile, depth) destinations (binning.plan_instances).
+            # Measured SLOWER than the fused sort on TPU v5e (BASELINE.md
+            # round-4 profile: XLA gathers/scatters at instance scale are
+            # the worst primitives; lax.sort moves payloads fastest) — kept
+            # as an option for future backends where gathers are cheap.
+            from seganygaussians_tpu.ops.binning import plan_instances
+
+            plan = plan_instances(prep, grid_x, grid_y, config.capacity)
+        else:
+            from seganygaussians_tpu.ops.binning import expand_slots
+
+            plan = expand_slots(prep, grid_x, grid_y, config.capacity)
         perm = plan.depth_perm
         means2d_d = means2d[perm]
         conics_d = prep.conics[perm]
@@ -147,10 +155,16 @@ def rasterize(
             conics_d[:, 2],
             opacities_d,
         ) + tuple(colors_d[:, i] for i in range(all_colors.shape[-1]))
-        out = blend_pallas.blend_fused(
-            plan.slot_rank, plan.slot_tile, fields, bg_full,
-            grid_x, grid_y, config.tile_size,
-        )
+        if backend == "pallas_sortfree":
+            out = blend_pallas.blend_sortfree(
+                plan.sorted_gauss, plan.tile_starts, fields, bg_full,
+                grid_x, grid_y, config.tile_size,
+            )
+        else:
+            out = blend_pallas.blend_fused(
+                plan.slot_rank, plan.slot_tile, fields, bg_full,
+                grid_x, grid_y, config.tile_size,
+            )
         overflow = plan.overflow
     else:
         binned = bin_gaussians(prep, grid_x, grid_y, config.capacity)

@@ -3,8 +3,13 @@
 import sys
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
+from jax.sharding import Mesh
+
+from seganygaussians_tpu.ops.camera import make_camera
+from seganygaussians_tpu.ops.rasterize import RasterConfig, rasterize
 
 
 def test_eight_devices():
@@ -250,3 +255,72 @@ def test_dp_contrastive_two_cameras_runs():
     )
     assert np.isfinite(float(loss))
     assert np.isfinite(np.asarray(new_fs.point_features)).all()
+
+
+def test_tile_sharded_render_parity(rng):
+    """Tile-row-sharded render == single-device rasterize (forward), 2 and
+    4 device slabs (`parallel/tile_sharded.py`)."""
+    from seganygaussians_tpu.parallel.tile_sharded import make_tile_sharded_render
+
+    n = 300
+    pts = np.stack(
+        [rng.uniform(-1, 1, n), rng.uniform(-0.8, 0.8, n),
+         rng.uniform(2.0, 6.0, n)], 1
+    ).astype(np.float32)
+    cam = make_camera(np.eye(3), np.zeros(3), fovx=1.1, fovy=0.9,
+                      width=96, height=80)
+    scales = jnp.asarray(rng.uniform(0.02, 0.18, (n, 3)).astype(np.float32))
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats = jnp.asarray(quats / np.linalg.norm(quats, axis=1, keepdims=True))
+    opac = jnp.asarray(rng.uniform(0.1, 0.95, n).astype(np.float32))
+    cols = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+    cfg = RasterConfig(capacity=1 << 13, backend="xla")
+    ref = rasterize(jnp.asarray(pts), opac, cam, colors=cols, scales=scales,
+                    rotations=quats, bg=bg, config=cfg)
+    for nd in (2, 4):
+        mesh = Mesh(np.array(jax.devices()[:nd]), ("tiles",))
+        render = make_tile_sharded_render(mesh, "tiles", cam, cfg, backend="xla")
+        img, ovf = jax.jit(render)(jnp.asarray(pts), opac, cols, scales, quats, bg)
+        assert not bool(ovf)
+        np.testing.assert_allclose(
+            np.asarray(img), np.asarray(ref.color), atol=2e-5
+        )
+
+
+def test_tile_sharded_grad_parity(rng):
+    """Slab-sharded loss + psum'd gradients == single-device value_and_grad
+    (the vjp runs INSIDE shard_map; grad-through-shard_map with replicated
+    in_specs mis-transposes — regression guard)."""
+    from seganygaussians_tpu.parallel.tile_sharded import make_tile_sharded_loss_grad
+
+    n = 250
+    pts = np.stack(
+        [rng.uniform(-1, 1, n), rng.uniform(-0.8, 0.8, n),
+         rng.uniform(2.0, 6.0, n)], 1
+    ).astype(np.float32)
+    cam = make_camera(np.eye(3), np.zeros(3), fovx=1.1, fovy=0.9,
+                      width=80, height=64)
+    scales = jnp.asarray(rng.uniform(0.02, 0.18, (n, 3)).astype(np.float32))
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats = jnp.asarray(quats / np.linalg.norm(quats, axis=1, keepdims=True))
+    opac = jnp.asarray(rng.uniform(0.1, 0.95, n).astype(np.float32))
+    cols = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    bg = jnp.zeros((3,), jnp.float32)
+    cfg = RasterConfig(capacity=1 << 13, backend="xla")
+    gt = jnp.asarray(rng.random((64, 80, 3)).astype(np.float32))
+
+    def ref_loss(xyz, op, co, sc, q):
+        out = rasterize(xyz, op, cam, colors=co, scales=sc, rotations=q,
+                        bg=bg, config=cfg)
+        return jnp.mean(jnp.abs(out.color - gt))
+
+    rv, rg = jax.value_and_grad(ref_loss, argnums=(0, 1, 2, 3, 4))(
+        jnp.asarray(pts), opac, cols, scales, quats
+    )
+    mesh = Mesh(np.array(jax.devices()[:4]), ("tiles",))
+    lg = make_tile_sharded_loss_grad(mesh, "tiles", cam, cfg, backend="xla")
+    (val, ovf), grads = lg(jnp.asarray(pts), opac, cols, scales, quats, bg, gt)
+    assert abs(float(val - rv)) < 1e-6
+    for a, b in zip(grads, rg):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

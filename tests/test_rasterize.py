@@ -234,3 +234,72 @@ def test_overflow_flag(rng):
         config=RasterConfig(capacity=16, backend="xla"),
     )
     assert bool(out.overflow)
+
+
+def test_plan_instances_matches_sorted_binning(rng):
+    """Sort-free analytic destinations reproduce the lax.sort binning
+    EXACTLY: same tile ranges, same (tile, depth)-ordered instance list,
+    and dest is a permutation (`binning.plan_instances`)."""
+    import jax.numpy as jnp
+
+    from seganygaussians_tpu.ops.binning import bin_gaussians, plan_instances
+    from seganygaussians_tpu.ops.camera import make_camera
+    from seganygaussians_tpu.ops.projection import preprocess
+
+    n = 1500
+    pts = np.stack(
+        [rng.uniform(-1.2, 1.2, n), rng.uniform(-0.9, 0.9, n),
+         rng.uniform(2.0, 6.0, n)], 1
+    ).astype(np.float32)
+    cam = make_camera(np.eye(3), np.zeros(3), fovx=1.1, fovy=0.9,
+                      width=160, height=112)
+    scales = rng.uniform(0.01, 0.15, (n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    opac = rng.uniform(0.1, 0.95, n).astype(np.float32)
+    alive = rng.random(n) > 0.1  # mix in culled gaussians
+    prep = preprocess(
+        jnp.asarray(pts), cam, scales=jnp.asarray(scales),
+        rotations=jnp.asarray(quats), active_mask=jnp.asarray(alive),
+        opacities=jnp.asarray(opac),
+    )
+    gx, gy = 10, 7
+    total = int(jnp.sum(prep.tiles_touched))
+    cap = (int(total * 1.3) // 256 + 1) * 256
+    b = bin_gaussians(prep, gx, gy, cap)
+    p = plan_instances(prep, gx, gy, cap)
+    np.testing.assert_array_equal(np.asarray(b.tile_starts),
+                                  np.asarray(p.tile_starts))
+    tot = int(b.tile_starts[-1])
+    np.testing.assert_array_equal(np.asarray(b.gauss_id[:tot]),
+                                  np.asarray(p.sorted_gauss[:tot]))
+    d = np.asarray(p.dest)[:tot]
+    assert len(np.unique(d)) == tot and d.min() == 0 and d.max() == tot - 1
+    assert not bool(p.overflow)
+
+
+def test_plan_instances_overflow_flag(rng):
+    """Overflow truncates but flags; tile_starts stay within capacity."""
+    import jax.numpy as jnp
+
+    from seganygaussians_tpu.ops.binning import plan_instances
+    from seganygaussians_tpu.ops.camera import make_camera
+    from seganygaussians_tpu.ops.projection import preprocess
+
+    n = 500
+    pts = np.stack(
+        [rng.uniform(-1, 1, n), rng.uniform(-0.8, 0.8, n),
+         rng.uniform(2.0, 6.0, n)], 1
+    ).astype(np.float32)
+    cam = make_camera(np.eye(3), np.zeros(3), fovx=1.1, fovy=0.9,
+                      width=96, height=64)
+    prep = preprocess(
+        jnp.asarray(pts), cam,
+        scales=jnp.full((n, 3), 0.2, np.float32),
+        rotations=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (n, 1)),
+        opacities=jnp.full((n,), 0.9),
+    )
+    cap = 512  # far below the true instance count
+    p = plan_instances(prep, 6, 4, cap)
+    assert bool(p.overflow)
+    assert int(jnp.max(p.tile_starts)) <= cap

@@ -95,7 +95,7 @@ def main():
 
     from seganygaussians_tpu.models import gaussians as gm
     from seganygaussians_tpu.ops.camera import make_camera
-    from seganygaussians_tpu.ops.binning import expand_slots, suggest_capacity
+    from seganygaussians_tpu.ops.binning import suggest_capacity
     from seganygaussians_tpu.ops.projection import preprocess
     from seganygaussians_tpu.ops.rasterize import RasterConfig, rasterize
     from seganygaussians_tpu.ops import blend_pallas
@@ -137,7 +137,9 @@ def main():
 
     report("preprocess", timeit(prep_fn, xyz, scales, rots))
 
-    # --- stage 2: slot expansion (no sort)
+    # --- stage 2: slot expansion
+    from seganygaussians_tpu.ops.binning import expand_slots
+
     plan_fn = jax.jit(lambda p: expand_slots(p, grid_x, grid_y, cap))
     plan = plan_fn(prep)
     report("expand_slots", timeit(plan_fn, prep))
@@ -153,28 +155,21 @@ def main():
         conics_d[:, 0], conics_d[:, 1], conics_d[:, 2], opac_d,
     ) + tuple(colors_d[:, i] for i in range(C))
 
-    # --- stage 3: fused sort with payloads
-    def sort_stage(*fs):
-        expanded = tuple(f[plan.slot_rank] for f in fs)
-        return blend_pallas._fused_sort(
-            plan.slot_rank, plan.slot_tile, expanded, n, grid_x * grid_y
-        )
-
-    report("fused payload sort", timeit(jax.jit(sort_stage), *fields))
-
-    # --- stage 4: blend fwd (sort + kernel)
-    def fused_fwd(*fs):
+    # --- stage 3: fused pack (row-gather) + sort + blend fwd
+    def f_fwd(*fs):
         out, _ = blend_pallas._fused_fwd(
-            plan.slot_rank, plan.slot_tile, tuple(fs), bg, C, grid_x, grid_y, 16
+            plan.slot_rank, plan.slot_tile, tuple(fs), bg, C,
+            grid_x, grid_y, 16,
         )
         return out.tiles
 
-    report("blend fwd (sort+kern)", timeit(jax.jit(fused_fwd), *fields))
+    report("blend fwd (pack+sort+kern)", timeit(jax.jit(f_fwd), *fields))
 
-    # --- stage 4b: forward kernel alone (on pre-sorted inputs)
+    # --- stage 4b: forward kernel alone (on packed inputs)
     out0, res0 = jax.jit(
         lambda *fs: blend_pallas._fused_fwd(
-            plan.slot_rank, plan.slot_tile, tuple(fs), bg, C, grid_x, grid_y, 16
+            plan.slot_rank, plan.slot_tile, tuple(fs), bg, C,
+            grid_x, grid_y, 16,
         )
     )(*fields)
     gauss_s, tile_starts, inst, tiles_r, final_t_r, bg_pad, _, _ = res0
@@ -201,7 +196,7 @@ def main():
     )
     report("  bwd kernel alone", timeit(bwd_kern, inst, tile_starts, g_tiles))
 
-    # --- stage 6: bwd epilogue (sort + cumsum + boundary diff)
+    # --- stage 6: bwd epilogue (sort + cumsum segment reduce)
     dinst0 = bwd_kern(inst, tile_starts, g_tiles)  # representative magnitudes
 
     def epilogue(d):
