@@ -65,6 +65,19 @@ def main(argv=None):
         seed=args.seed,
     )
     trainer.run(log_every=100)
+    # RFN / pos-cos / neg-cos trajectories → metrics.jsonl + TensorBoard
+    # (the tqdm-postfix analogue, `train_contrastive_feature.py:308-315`).
+    from seganygaussians_tpu.utils.reporting import TrainingReporter
+
+    reporter = TrainingReporter(cfg.model_path)
+    for m in trainer.metrics_history:
+        reporter.scalars(
+            m["iter"],
+            {"contrastive/loss": m["loss"], "contrastive/rfn": m["rfn"],
+             "contrastive/cos_pos": m["cosine_pos"],
+             "contrastive/cos_neg": m["cosine_neg"]},
+        )
+    reporter.close()
     for m in trainer.metrics_history[-3:]:
         print(
             f"[ITER {m['iter']}] loss={m['loss']:.4f} RFN={m['rfn']:.3f} "

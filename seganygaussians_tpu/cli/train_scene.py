@@ -76,6 +76,10 @@ def main(argv=None):
     ckpt_at = set(args.checkpoint_iterations)
     ckpt_dir = os.path.join(cfg.model_path, "checkpoints")
 
+    from seganygaussians_tpu.utils.reporting import TrainingReporter
+
+    reporter = TrainingReporter(cfg.model_path)
+
     gui = None
     if not args.disable_viewer:
         try:
@@ -109,8 +113,18 @@ def main(argv=None):
         if gui is not None:
             poll_viewer(tr, it)
         if it in test_at and scene.get_test_cameras():
+            # `training_report` analogue (`train_scene.py:167-202`): held-out
+            # L1/PSNR + TensorBoard scalars/histogram when available.
             rep = tr.eval_report(scene.get_test_cameras())
-            print(f"[ITER {it}] eval L1 {rep['l1']:.5f} PSNR {rep['psnr']:.2f}")
+            reporter.eval_report(it, "test", rep["l1"], rep["psnr"])
+            import numpy as _np
+
+            from seganygaussians_tpu.models import gaussians as _gm
+
+            alive = _np.asarray(tr.state.alive)
+            opac = _np.asarray(_gm.get_opacity(tr.state.params))[alive, 0]
+            reporter.histogram(it, "scene/opacity", opac)
+            reporter.scalars(it, {"scene/n_alive": int(alive.sum())})
         if it in save_at:
             scene.gaussians = tr.state
             path = scene.save(it, target="scene")
@@ -128,6 +142,10 @@ def main(argv=None):
             f"n_alive={int(metrics['n_alive'])} "
             f"({metrics['elapsed_s']:.1f}s)"
         )
+        reporter.scalars(
+            it, {"train/loss": metrics["loss"], "train/l1": metrics["l1"],
+                 "train/n_alive": metrics["n_alive"]},
+        )
 
     trainer.on_iteration = on_iteration
     trainer.on_eval = on_eval
@@ -136,6 +154,7 @@ def main(argv=None):
         start_iteration=start_iteration,
     )
     scene.gaussians = trainer.state
+    reporter.close()
     if gui is not None:
         gui.close()
     print("Training complete.")

@@ -1,6 +1,7 @@
 """Aux subsystem tests: checkpoint/resume, network protocol, mask scales,
 interactive session."""
 
+import os
 import socket
 import threading
 
@@ -169,3 +170,24 @@ def test_save_mask(tmp_path, rng):
     p = sess.save_mask("m0", str(tmp_path))
     back = torch.load(p, weights_only=False)
     assert back.shape[0] == 32 and back.dtype == torch.bool
+
+
+def test_training_reporter(tmp_path):
+    """metrics.jsonl + TensorBoard mirroring (`train_scene.py:159-202`
+    training_report analogue)."""
+    import json
+
+    from seganygaussians_tpu.utils.reporting import TrainingReporter
+
+    rep = TrainingReporter(str(tmp_path))
+    rep.scalars(10, {"train/loss": 0.5, "train/l1": 0.3})
+    rep.eval_report(20, "test", 0.1, 25.0)
+    rep.histogram(20, "scene/opacity", np.random.default_rng(0).random(100))
+    rep.image(20, "render", np.zeros((8, 8, 3), np.float32))
+    rep.close()
+    lines = [json.loads(l) for l in
+             open(tmp_path / "metrics.jsonl").read().splitlines()]
+    assert lines[0]["train/loss"] == 0.5
+    assert any("test/psnr" in l for l in lines)
+    # tensorboard event file written when SummaryWriter is available
+    assert any(f.startswith("events") for f in os.listdir(tmp_path))
