@@ -191,3 +191,86 @@ def test_training_reporter(tmp_path):
     assert any("test/psnr" in l for l in lines)
     # tensorboard event file written when SummaryWriter is available
     assert any(f.startswith("events") for f in os.listdir(tmp_path))
+
+
+def test_web_gui_endpoints():
+    """Browser GUI protocol (`viewer/web_gui.py`): every saga_gui widget
+    endpoint round-trips against a stub session — no weights needed."""
+    import json as _json
+    import urllib.request
+
+    from seganygaussians_tpu.viewer.web_gui import WebGUI
+
+    class Orbit:
+        azimuth = 0.0
+        elevation = 0.0
+        radius = 4.0
+
+    class StubSession:
+        def __init__(self):
+            self.orbit = Orbit()
+            self.scale = 0.5
+            self.threshold = 0.75
+            self.chosen_features = []
+            self.calls = []
+
+        def render_rgb(self):
+            return np.full((6, 8, 3), 0.5, np.float32)
+
+        render_pca = render_cluster = render_rgb
+
+        def render_similarity(self):
+            return np.zeros((6, 8), np.float32)
+
+        def click(self, x, y):
+            self.chosen_features.append((x, y))
+
+        def segment3d(self):
+            self.calls.append("segment")
+            return np.ones(7, bool)
+
+        def roll_back(self):
+            self.calls.append("undo")
+
+        def clear_clicks(self):
+            self.chosen_features = []
+
+        def save_mask(self):
+            return "/tmp/mask.pt"
+
+        def cluster_in_3d(self):
+            self.calls.append("cluster")
+
+    sess = StubSession()
+    gui = WebGUI(sess, port=0)  # ephemeral port
+    host, port = gui.start_background()
+    base = f"http://{host}:{port}"
+    try:
+        page = urllib.request.urlopen(base + "/").read().decode()
+        assert "segment 3D" in page
+        for mode in ("rgb", "pca", "similarity", "cluster"):
+            png = urllib.request.urlopen(
+                f"{base}/render?mode={mode}&az=0.3&el=0.1&r=3"
+            ).read()
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        assert abs(sess.orbit.azimuth - 0.3) < 1e-9
+
+        def post(path, body=None):
+            req = urllib.request.Request(
+                base + path, data=_json.dumps(body or {}).encode(),
+                method="POST")
+            return _json.loads(urllib.request.urlopen(req).read())
+
+        assert "1 prompts" in post("/click", {"x": 3, "y": 2})["status"]
+        assert sess.chosen_features == [(3, 2)]
+        post("/state", {"scale": 0.8, "threshold": 0.9})
+        assert sess.scale == 0.8 and sess.threshold == 0.9
+        assert "segmented 7" in post("/segment")["status"]
+        post("/undo"); post("/cluster"); post("/clear")
+        assert sess.calls == ["segment", "undo", "cluster"]
+        assert sess.chosen_features == []
+        assert "saved" in post("/save")["status"]
+        st = _json.loads(urllib.request.urlopen(base + "/state").read())
+        assert st["scale"] == 0.8
+    finally:
+        gui.shutdown()
