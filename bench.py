@@ -54,20 +54,33 @@ def main():
         np.eye(3), np.zeros(3), fovx=1.1, fovy=0.9, width=W, height=H
     )
 
+    # 32x32 tiles: ~2.7x fewer tile instances than 16x16 at typical
+    # footprints, which every instance-scale XLA stage (expansion, payload
+    # sort, gradient reduction) pays for linearly — measured 2.5x faster
+    # end-to-end on TPU v5e (BASELINE.md round-4 profile).  Output is
+    # identical: tile size only partitions the blend.
+    TS = 32
+
     # Size the static instance budget from the true tile-overlap count
     # (the capacity-bucket / recompile-on-growth policy, SURVEY.md §7).
     from seganygaussians_tpu.ops.projection import preprocess
 
     prep = jax.jit(
         lambda xyz, sc, rot: preprocess(
-            xyz, cam, scales=sc, rotations=rot, active_mask=state.alive
+            xyz,
+            cam,
+            scales=sc,
+            rotations=rot,
+            active_mask=state.alive,
+            opacities=gm.get_opacity(state.params)[:, 0],
+            tile_size=TS,
         )
     )(state.params.xyz, gm.get_scaling(state.params), gm.get_rotation(state.params))
     from seganygaussians_tpu.ops.binning import suggest_capacity
 
     total = int(np.asarray(jnp.sum(prep.tiles_touched)))
-    cap = suggest_capacity(total)
-    cfg = RasterConfig(capacity=cap, backend="auto")
+    cap = suggest_capacity(total, headroom=1.05)
+    cfg = RasterConfig(capacity=cap, backend="auto", tile_size=TS)
     bg = jnp.zeros(3)
     print(
         f"# gaussians={n} instances={total} capacity={cap}",

@@ -105,8 +105,14 @@ def expand_slots(
     """Expand Gaussians into slot-order (rank-grouped) tile instances.
 
     Steps 1-2 of the binning design (module docstring): depth-sort Gaussians,
-    then expand each to one slot per touched tile with a single exact integer
-    cumsum pass + one ascending 2-column row gather — no sort yet."""
+    then expand each to one slot per touched tile.  All three per-slot int
+    fields (owning rank, slot-range offset, packed rect) are reconstructed by
+    ONE fused delta pass: a single (N, 4)→(M, 4) row scatter-add of
+    per-Gaussian deltas at segment starts followed by one multi-column
+    integer cumsum — integers make the delta/cumsum reconstruction exact,
+    and it replaces the previous per-field scatter + instance-scale row
+    gather (instance-scale gathers are the slowest XLA primitive on this
+    chip; see module docstring)."""
     n = prep.tiles_touched.shape[0]
     num_tiles = grid_x * grid_y
 
@@ -117,21 +123,30 @@ def expand_slots(
     rect_min = prep.rect_min[depth_perm]
     rect_max = prep.rect_max[depth_perm]
 
-    # 2. Expansion: one exact integer cumsum pass for the owning rank, one
-    # ascending row gather for the per-Gaussian fields.
+    # 2. Expansion.
     cum = jnp.cumsum(tiles)
     total = cum[-1]
     offsets = cum - tiles  # exclusive prefix (first element 0)
 
-    gauss_rank = _expand_int(jnp.arange(n, dtype=jnp.int32), offsets, capacity)
-    gauss_rank = jnp.clip(gauss_rank, 0, n - 1)
-
     w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
     packed_rect = rect_min[:, 0] | (rect_min[:, 1] << 10) | (w << 20)
-    table = jnp.stack([offsets, packed_rect], axis=-1)  # (N, 2) int32
-    per_slot = table[gauss_rank]  # ascending-index gather: coherent
-    off_slot = per_slot[:, 0]
-    pk = per_slot[:, 1]
+
+    # Fused delta scatter: slot m receives field[g*] with
+    # g* = max{g : offsets[g] ≤ m} for every column at once (empty Gaussians
+    # share the next offset and telescope away in the scatter-ADD).
+    fields_n = jnp.stack(
+        [jnp.arange(n, dtype=jnp.int32), offsets, packed_rect], axis=-1
+    )  # (N, 3)
+    deltas = jnp.diff(fields_n, axis=0, prepend=jnp.zeros((1, 3), jnp.int32))
+    base = (
+        jnp.zeros((capacity, 3), jnp.int32)
+        .at[jnp.minimum(offsets, capacity - 1)]
+        .add(deltas, mode="drop")
+    )
+    per_slot = jnp.cumsum(base, axis=0)  # (M, 3) exact int reconstruction
+    gauss_rank = jnp.clip(per_slot[:, 0], 0, n - 1)
+    off_slot = per_slot[:, 1]
+    pk = per_slot[:, 2]
     x0 = pk & 1023
     y0 = (pk >> 10) & 1023
     ww = jnp.maximum(pk >> 20, 1)

@@ -53,6 +53,18 @@ COLOR_OFFSET = 8
 CHUNK = 256  # instances per inner step (lane axis; multiple of 128)
 
 
+def chunk_for(tile_size: int) -> int:
+    """Instances per inner step for a given tile size.
+
+    The kernels hold several (P, K) f32 intermediates (P = tile_size²); at
+    P=1024 (32x32 tiles) K=256 blows up the Mosaic compile (observed: the
+    backward kernel never finished compiling), while K=128 compiles and runs
+    well.  Keep P·K ≈ 131072 so the intermediate footprint is constant
+    across tile sizes, capped at the classic CHUNK for small tiles."""
+    p = tile_size * tile_size
+    return min(CHUNK, max(64, 131072 // p))
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -198,7 +210,7 @@ def _fwd_kernel(
 ):
     t = pl.program_id(0)
     p = tile_size * tile_size
-    k = CHUNK
+    k = chunk_for(tile_size)
 
     start = starts_ref[t]
     end = starts_ref[t + 1]
@@ -300,7 +312,7 @@ def _fwd_call(inst, tile_starts, bg_pad, *, num_tiles, grid_x, tile_size, c_pad)
             pl.BlockSpec((1, p, 1), lambda t, s: (t, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, f, CHUNK), jnp.float32),
+            pltpu.VMEM((2, f, chunk_for(tile_size)), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -351,7 +363,7 @@ def _bwd_kernel(
     t = pl.program_id(0)
     num_tiles = pl.num_programs(0)
     p = tile_size * tile_size
-    k = CHUNK
+    k = chunk_for(tile_size)
 
     @pl.when(t == 0)
     def _():
@@ -588,9 +600,9 @@ def _bwd_call(
             pl.BlockSpec(memory_space=pl.ANY),  # dinst
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, f, CHUNK), jnp.float32),
-            pltpu.VMEM((2, f, CHUNK), jnp.float32),
-            pltpu.VMEM((f, CHUNK), jnp.float32),
+            pltpu.VMEM((2, f, chunk_for(tile_size)), jnp.float32),
+            pltpu.VMEM((2, f, chunk_for(tile_size)), jnp.float32),
+            pltpu.VMEM((f, chunk_for(tile_size)), jnp.float32),
             pltpu.SMEM((4,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -637,7 +649,8 @@ def _blend_fwd(
     c = colors.shape[-1]
     c_pad = _pad_channels(c)
     m = gauss_id.shape[0]
-    m_pad = ((m + CHUNK - 1) // CHUNK) * CHUNK
+    ck = chunk_for(tile_size)
+    m_pad = ((m + ck - 1) // ck) * ck
     inst = _pack_instances(gauss_id, means2d, conics, opacities, colors, m_pad)
     bg_pad = jnp.pad(bg.reshape(1, -1), ((0, 0), (0, c_pad - c)))
     tiles, final_t, n_contrib = _fwd_call(
@@ -811,8 +824,9 @@ def _fused_fwd(slot_rank, slot_tile, fields, bg, c, grid_x, grid_y, tile_size):
     num_tiles = grid_x * grid_y
     c_pad = _pad_channels(c)
     m = orig_m = slot_rank.shape[0]
-    if m % CHUNK:
-        pad = CHUNK - m % CHUNK
+    ck = chunk_for(tile_size)
+    if m % ck:
+        pad = ck - m % ck
         slot_rank = jnp.pad(slot_rank, (0, pad))
         slot_tile = jnp.pad(slot_tile, (0, pad), constant_values=num_tiles)
         m += pad
@@ -921,8 +935,9 @@ def _sortfree_fwd(sorted_gauss, tile_starts, fields, bg, c, grid_x, grid_y, tile
     num_tiles = grid_x * grid_y
     c_pad = _pad_channels(c)
     m = orig_m = sorted_gauss.shape[0]
-    if m % CHUNK:
-        pad = CHUNK - m % CHUNK
+    ck = chunk_for(tile_size)
+    if m % ck:
+        pad = ck - m % ck
         sorted_gauss = jnp.pad(sorted_gauss, (0, pad))
         m += pad
 

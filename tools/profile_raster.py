@@ -84,6 +84,11 @@ def main():
     ap.add_argument("--height", type=int, default=768)
     ap.add_argument("--trace", type=str, default=None)
     ap.add_argument("--backend", type=str, default="pallas")
+    ap.add_argument("--tile-size", type=int, default=16)
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="override blend_pallas.CHUNK (instances per inner step)")
+    ap.add_argument("--headroom", type=float, default=1.15)
+    ap.add_argument("--skip-e2e", action="store_true")
     args = ap.parse_args()
 
     import logging
@@ -104,6 +109,12 @@ def main():
     _SYNC_MS = measure_sync_overhead()
     print(f"# D2H sync overhead {_SYNC_MS:.1f} ms (subtracted)", flush=True)
 
+    if args.chunk is not None:
+        from seganygaussians_tpu.ops import blend_pallas as _bp
+
+        _bp.CHUNK = args.chunk
+
+    TS = args.tile_size
     W, H, n = args.width, args.height, args.n
     C = args.channels
     rng = np.random.default_rng(0)
@@ -125,14 +136,15 @@ def main():
     # --- stage 1: preprocess
     prep_fn = jax.jit(
         lambda xyz, sc, rot: preprocess(
-            xyz, cam, scales=sc, rotations=rot, active_mask=alive, opacities=opac
+            xyz, cam, scales=sc, rotations=rot, active_mask=alive, opacities=opac,
+            tile_size=TS,
         )
     )
     prep = prep_fn(xyz, scales, rots)
     total = int(np.asarray(jnp.sum(prep.tiles_touched)))
-    cap = suggest_capacity(total)
-    grid_x = (W + 15) // 16
-    grid_y = (H + 15) // 16
+    cap = suggest_capacity(total, headroom=args.headroom)
+    grid_x = (W + TS - 1) // TS
+    grid_y = (H + TS - 1) // TS
     print(f"# N={n} instances={total} capacity={cap} tiles={grid_x*grid_y} C={C}", flush=True)
 
     report("preprocess", timeit(prep_fn, xyz, scales, rots))
@@ -159,7 +171,7 @@ def main():
     def f_fwd(*fs):
         out, _ = blend_pallas._fused_fwd(
             plan.slot_rank, plan.slot_tile, tuple(fs), bg, C,
-            grid_x, grid_y, 16,
+            grid_x, grid_y, TS,
         )
         return out.tiles
 
@@ -169,7 +181,7 @@ def main():
     out0, res0 = jax.jit(
         lambda *fs: blend_pallas._fused_fwd(
             plan.slot_rank, plan.slot_tile, tuple(fs), bg, C,
-            grid_x, grid_y, 16,
+            grid_x, grid_y, TS,
         )
     )(*fields)
     gauss_s, tile_starts, inst, tiles_r, final_t_r, bg_pad, _, _ = res0
@@ -178,20 +190,20 @@ def main():
     fwd_kern = jax.jit(
         lambda i, ts: blend_pallas._fwd_call(
             i, ts, bg_pad,
-            num_tiles=grid_x * grid_y, grid_x=grid_x, tile_size=16, c_pad=c_pad,
+            num_tiles=grid_x * grid_y, grid_x=grid_x, tile_size=TS, c_pad=c_pad,
         )[0]
     )
     report("  fwd kernel alone", timeit(fwd_kern, inst, tile_starts))
 
     # --- stage 5: backward kernel alone
-    p = 256
+    p = TS * TS
     num_tiles = grid_x * grid_y
     g_tiles = jnp.ones((num_tiles, p, c_pad), jnp.float32)
     g_ft = jnp.zeros((num_tiles, p, 1), jnp.float32)
     bwd_kern = jax.jit(
         lambda i, ts, gt: blend_pallas._bwd_call(
             i, ts, gt, g_ft, tiles_r, final_t_r, bg_pad,
-            num_tiles=num_tiles, grid_x=grid_x, tile_size=16, c_pad=c_pad,
+            num_tiles=num_tiles, grid_x=grid_x, tile_size=TS, c_pad=c_pad,
         )
     )
     report("  bwd kernel alone", timeit(bwd_kern, inst, tile_starts, g_tiles))
@@ -212,15 +224,18 @@ def main():
     # --- blend fwd+bwd via custom vjp
     def blend_loss(*fs):
         out = blend_pallas.blend_fused(
-            plan.slot_rank, plan.slot_tile, tuple(fs), bg, grid_x, grid_y, 16
+            plan.slot_rank, plan.slot_tile, tuple(fs), bg, grid_x, grid_y, TS
         )
         return jnp.sum(out.tiles)
 
     blend_gr = jax.jit(jax.grad(blend_loss, argnums=tuple(range(6 + C))))
     report("blend fwd+bwd (full)", timeit(blend_gr, *fields))
 
+    if args.skip_e2e:
+        return
+
     # --- end-to-end
-    cfg = RasterConfig(capacity=cap, backend=args.backend)
+    cfg = RasterConfig(capacity=cap, backend=args.backend, tile_size=TS)
 
     def full_fwd(xyz, sc, rot, op, col):
         out = rasterize(
