@@ -86,7 +86,7 @@ def main(argv=None):
 
     scene.feature_gaussians = trainer.feat_state
     path = scene.save_feature(
-        hyper.iterations, target=args.target, smooth_type="traditional",
+        hyper.iterations, target=args.target, smooth_type=hyper.smooth_type,
         smooth_k=hyper.smooth_k,
     )
     gate_path = os.path.join(os.path.dirname(path), "scale_gate.pt")

@@ -151,29 +151,128 @@ def smooth_point_features_inplace(
     return state._replace(point_features=feats)
 
 
-def multi_res_smoothed_features(
+def build_multi_res_maps(
     state: FeatureState,
     keys: jax.Array,  # (L,) PRNG keys for the per-level point subsets
     sample_rates=(0.1, 0.5, 1.5),
     ks=(4, 4, 16),
+) -> tuple[jnp.ndarray, ...]:
+    """Per-level neighbour maps for multi-resolution smoothing.
+
+    Mirrors the cached ``multi_res_feature_smooth_map`` of the reference
+    (`gaussian_model_ff.py:366-390`: the per-(rate, K) KNN maps are computed
+    once under no_grad and reused across iterations): level i subsamples
+    points at ``sample_rates[i]`` and maps every point to its K_i nearest
+    *subsampled* points.  Subsampling keeps shapes static by displacing
+    dropped points far outside the cloud so the Morton-window KNN never
+    selects them.  Build once (host side), pass to
+    :func:`multi_res_smoothed_features` inside the jitted step.
+    """
+    xyz = state.geom.xyz
+    span = jnp.max(xyz) - jnp.min(xyz) + 1.0
+    maps = []
+    for i, (rate, k) in enumerate(zip(sample_rates, ks)):
+        pm = jax.random.uniform(keys[i], (xyz.shape[0],)) < min(rate, 1.0)
+        xyz_masked = jnp.where(pm[:, None], xyz, xyz + 100.0 * span)
+        maps.append(build_smooth_map(xyz_masked, k))
+    return tuple(maps)
+
+
+def multi_res_smoothed_features(
+    state: FeatureState,
+    maps: tuple[jnp.ndarray, ...],
     smooth_weights: Optional[jnp.ndarray] = None,  # (C, L)
 ) -> jnp.ndarray:
-    """Multi-resolution smoothing (`gaussian_model_ff.py:366-400`): level i
-    subsamples points at ``sample_rates[i]`` and averages the K_i nearest
-    *subsampled* features.  Subsampling keeps shapes static by masking the
-    Morton window to selected points (distances of dropped points → +inf via
-    coordinate displacement)."""
+    """Multi-resolution smoothing (`gaussian_model_ff.py:391-400`): sum over
+    levels of (optionally per-point-weighted) K_i-neighbour means of the
+    L2-normalised features.  Pure and differentiable w.r.t. BOTH
+    ``point_features`` and ``smooth_weights`` (the reference treats the
+    per-point (N, L) weights as a learnable tensor softmaxed by the caller,
+    `train_contrastive_feature.py:231`)."""
     normed = state.point_features / jnp.linalg.norm(
         state.point_features, axis=-1, keepdims=True
     ).clip(1e-9)
-    xyz = state.geom.xyz
-    span = jnp.max(xyz) - jnp.min(xyz) + 1.0
     out = jnp.zeros_like(normed)
-    for i, (rate, k) in enumerate(zip(sample_rates, ks)):
-        pm = jax.random.uniform(keys[i], (xyz.shape[0],)) < min(rate, 1.0)
-        # displace unselected points far away so the KNN never picks them
-        xyz_masked = jnp.where(pm[:, None], xyz, xyz + 100.0 * span)
-        nbrs = build_smooth_map(xyz_masked, k)
+    for i, nbrs in enumerate(maps):
         w = smooth_weights[:, i : i + 1] if smooth_weights is not None else 1.0
         out = out + w * jnp.mean(normed[nbrs], axis=1)
     return out
+
+
+def smooth_features(
+    state: FeatureState,
+    smooth_type: Optional[str],
+    key: Optional[jax.Array] = None,
+    dropout: float = 0.5,
+    maps: Optional[tuple] = None,
+    smooth_weights: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Smoothing dispatch mirroring ``render_contrastive_feature``'s
+    smooth_type selection (`gaussian_renderer/__init__.py:355-360`):
+    None/'none' → raw features, 'traditional' → K-NN dropout mean,
+    'multi_res' → per-level subsampled means (needs ``maps`` from
+    :func:`build_multi_res_maps`)."""
+    if smooth_type in (None, "none"):
+        return state.point_features
+    if smooth_type == "traditional":
+        return smoothed_point_features(state, key=key, dropout=dropout)
+    if smooth_type == "multi_res":
+        assert maps is not None, "build_multi_res_maps first"
+        return multi_res_smoothed_features(state, maps, smooth_weights)
+    raise ValueError(f"unknown smooth_type {smooth_type!r}")
+
+
+class GridLevels(NamedTuple):
+    """Quantised-grid feature levels (`gaussian_model_ff.py:201-249,456-469`):
+    level l assigns each point a cell id at stride ``strides[l]``; features
+    live in per-cell tables and ``concat_point_features`` gathers + concats
+    them with the per-point features."""
+
+    idx_mapper: jnp.ndarray  # (C, L) int32 compact cell id per point
+    tables: tuple[jnp.ndarray, ...]  # L tables, (num_cells_l, fd_l)
+
+
+def init_grid_levels(
+    xyz: jnp.ndarray,
+    strides=(0.05, 0.13, 0.23),
+    feature_dims=(10, 10, 10),
+) -> GridLevels:
+    """`initialize_multi_res_feature` (`gaussian_model_ff.py:201-230`):
+    quantise xyz per level to a grid, compact the occupied cell ids, and
+    allocate a zero feature table per level.  The compacting uses a sort-
+    based unique (the reference's per-unique python loop is O(N·U))."""
+    n = xyz.shape[0]
+    idx_cols, tables = [], []
+    for stride, fd in zip(strides, feature_dims):
+        norm = (xyz - jnp.min(xyz, axis=0, keepdims=True)) / stride
+        q = jnp.ceil(norm).astype(jnp.int64)
+        num_x = jnp.max(q[:, 0])
+        num_y = jnp.max(q[:, 1])
+        cell = q[:, 0] + q[:, 1] * num_x + q[:, 2] * num_x * num_y
+        # compact: rank of each point's cell among sorted unique cells
+        s = jnp.sort(cell)
+        is_new = jnp.concatenate([jnp.ones((1,), jnp.int32), (s[1:] != s[:-1]).astype(jnp.int32)])
+        uniq_rank = jnp.cumsum(is_new) - 1
+        # map each cell value to its rank via searchsorted over sorted cells
+        pos = jnp.searchsorted(s, cell)
+        compact = uniq_rank[pos].astype(jnp.int32)
+        num_cells = int(uniq_rank[-1]) + 1
+        idx_cols.append(compact)
+        tables.append(jnp.zeros((num_cells, fd), jnp.float32))
+    return GridLevels(
+        idx_mapper=jnp.stack(idx_cols, axis=-1), tables=tuple(tables)
+    )
+
+
+def concat_point_features(
+    state: FeatureState, grids: Optional[GridLevels]
+) -> jnp.ndarray:
+    """`get_point_features` (`gaussian_model_ff.py:456-469`): without grid
+    levels, the per-point features; with them, concat of each level's table
+    row (gathered via idx_mapper) and the per-point features."""
+    if grids is None:
+        return state.point_features
+    parts = [
+        grids.tables[l][grids.idx_mapper[:, l]] for l in range(len(grids.tables))
+    ]
+    return jnp.concatenate(parts + [state.point_features], axis=-1)

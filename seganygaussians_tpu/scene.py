@@ -265,6 +265,11 @@ class Scene:
         fs = self.feature_gaussians
         if smooth_type == "traditional":
             feats = np.asarray(fgm.smoothed_point_features(fs, key=None, dropout=-1.0))
+        elif smooth_type == "multi_res":
+            import jax as _jax
+
+            maps = fgm.build_multi_res_maps(fs, _jax.random.split(_jax.random.PRNGKey(0), 3))
+            feats = np.asarray(fgm.multi_res_smoothed_features(fs, maps))
         else:
             feats = np.asarray(fs.point_features)
         alive = np.asarray(fs.geom.alive)

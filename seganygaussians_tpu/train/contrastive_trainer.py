@@ -92,6 +92,10 @@ def build_mask_bundle(
 class ContrastiveConsts(NamedTuple):
     upper_bound_scale: jnp.ndarray  # () max scale over the whole dataset
     qt: QuantileTransform
+    # Per-level neighbour maps when hyper.smooth_type == 'multi_res'
+    # (built once by fgm.build_multi_res_maps, like the reference's cached
+    # multi_res_feature_smooth_map); () placeholder otherwise.
+    multi_res_maps: tuple = ()
 
 
 def _sample_scales_and_gt(key, bundle: MaskBundle, ray_idx, consts):
@@ -198,6 +202,9 @@ class ContrastiveHyper:
     num_sampled_rays: int = 1000
     smooth_k: int = 16
     smooth_dropout: float = 0.5
+    # 'traditional' (reference trainer default, train_contrastive_feature.py:231),
+    # 'multi_res', or 'none' (`gaussian_renderer/__init__.py:355-360`)
+    smooth_type: str = "traditional"
     rfn: float = 1.0
     scale_aware_dim: int = -1
     # Return raw feature gradients in aux (testing/debugging only — Adam's
@@ -232,8 +239,9 @@ def contrastive_step(
 
     def loss_fn(point_features, gate):
         fs = feat_state._replace(point_features=point_features)
-        smoothed = fgm.smoothed_point_features(
-            fs, key=k_smooth, dropout=hyper.smooth_dropout
+        smoothed = fgm.smooth_features(
+            fs, hyper.smooth_type, key=k_smooth, dropout=hyper.smooth_dropout,
+            maps=consts.multi_res_maps or None,
         )  # L2-normalised + K-mean (`render_contrastive_feature` w/
         #    norm_point_features=True re-normalises — reproduce both)
         feats = _safe_normalize(smoothed)
@@ -345,9 +353,15 @@ class ContrastiveTrainer:
         all_scales = np.concatenate(
             [np.asarray(c.mask_scales).reshape(-1) for c in self.cameras]
         )
+        maps = ()
+        if self.hyper.smooth_type == "multi_res":
+            maps = fgm.build_multi_res_maps(
+                self.feat_state, jax.random.split(jax.random.PRNGKey(self.seed), 3)
+            )
         self.consts = ContrastiveConsts(
             upper_bound_scale=jnp.asarray(all_scales.max(), jnp.float32),
             qt=fit_quantile_transform(jnp.asarray(all_scales), output="uniform"),
+            multi_res_maps=maps,
         )
         self.max_masks = max(len(np.asarray(c.mask_scales)) for c in self.cameras)
         self._bundles: dict[int, MaskBundle] = {}

@@ -68,7 +68,7 @@ def test_mask_bundle_and_gt_corr(rng):
     assert (np.diagonal(last) == 1).all()
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture()  # function scope: contrastive_step DONATES feat_state buffers
 def feature_setup():
     rng = np.random.default_rng(5)
     n = 60
@@ -125,3 +125,26 @@ def test_contrastive_training_smoke(feature_setup):
     assert float(jnp.abs(trainer.feat_state.point_features).max()) > 1e-3
     # cosine separation should appear: pos above neg by the end
     assert ms[-1]["cosine_pos"] > ms[-1]["cosine_neg"]
+
+
+def test_contrastive_training_multi_res_smoke(feature_setup):
+    """smooth_type='multi_res' path (`gaussian_renderer/__init__.py:357-358`):
+    per-level cached neighbour maps built at trainer setup, used inside the
+    jitted step."""
+    fs, cams = feature_setup
+    gate = init_scale_gate(jax.random.PRNGKey(0))
+    trainer = ct.ContrastiveTrainer(
+        feat_state=fs,
+        gate_params=gate,
+        cameras=cams,
+        hyper=ct.ContrastiveHyper(
+            num_sampled_rays=64, smooth_type="multi_res"
+        ),
+        config=RasterConfig(capacity=1 << 13, backend="xla"),
+        seed=0,
+    )
+    assert len(trainer.consts.multi_res_maps) == 3
+    trainer.run(iterations=4, log_every=2)
+    for m in trainer.metrics_history:
+        assert np.isfinite(m["loss"])
+    assert float(jnp.abs(trainer.feat_state.point_features).max()) > 1e-4

@@ -3,6 +3,8 @@
 import os
 
 import numpy as np
+import jax
+import jax.numpy as jnp
 
 from seganygaussians_tpu.models import feature_gaussians as fgm
 from seganygaussians_tpu.models import gaussians as gm
@@ -83,5 +85,17 @@ def test_smoothed_features_shapes(colmap_scene, tmp_path):
     # dropout<0 → all neighbours
     sm_all = fgm.smoothed_point_features(fs, key=None, dropout=-1.0)
     assert np.isfinite(np.asarray(sm_all)).all()
-    ms = fgm.multi_res_smoothed_features(fs, jax.random.split(jax.random.PRNGKey(1), 3))
+    maps = fgm.build_multi_res_maps(fs, jax.random.split(jax.random.PRNGKey(1), 3))
+    ms = fgm.multi_res_smoothed_features(fs, maps)
     assert ms.shape == (100, 32)
+    # per-point (N, L) smooth weights are differentiable inputs
+    w = jnp.ones((100, len(maps))) / len(maps)
+    gw = jax.grad(
+        lambda ww: jnp.sum(fgm.multi_res_smoothed_features(fs, maps, ww) ** 2)
+    )(w)
+    assert np.isfinite(np.asarray(gw)).all() and float(jnp.sum(jnp.abs(gw))) > 0
+    # grid-level concat analog (`gaussian_model_ff.py:456-469`)
+    grids = fgm.init_grid_levels(fs.geom.xyz)
+    cat = fgm.concat_point_features(fs, grids)
+    assert cat.shape == (100, 32 + 30)
+    assert fgm.concat_point_features(fs, None).shape == (100, 32)
