@@ -73,6 +73,12 @@ def read_colmap_scene(
             continue
         extr = images_meta[key]
         intr = cams[extr.camera_id]
+        if not (np.isfinite(extr.qvec).all() and np.isfinite(extr.tvec).all()):
+            # A single NaN/inf pose poisons the whole optimizer state (one
+            # NaN loss step → NaN Adam moments → every parameter NaN while
+            # the logged loss stays finite at |GT|) — drop it loudly.
+            print(f"[readers] skipping {extr.name}: non-finite pose")
+            continue
         R = colmap.qvec2rotmat(extr.qvec).T
         T = np.array(extr.tvec)
         if intr.model == "SIMPLE_PINHOLE" or intr.model == "SIMPLE_RADIAL":

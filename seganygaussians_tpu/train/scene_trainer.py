@@ -76,14 +76,32 @@ def train_step(
     )(state.params, ndc0)
     param_grads, ndc_grad = grads
 
+    # Skip the update wholesale on a non-finite step (corrupt camera pose /
+    # image): one NaN gradient otherwise poisons the Adam moments and every
+    # parameter forever while the per-step loss stays finite at |GT| — the
+    # failure mode is silent and unrecoverable.  ``nonfinite`` is surfaced
+    # in metrics so the host loop can warn.
+    finite = jnp.isfinite(loss) & jnp.all(
+        jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)])
+    )
+    zeros = jax.tree.map(jnp.zeros_like, param_grads)
+    safe_grads = jax.tree.map(
+        lambda g, z: jnp.where(finite, g, z), param_grads, zeros
+    )
+
     lrs = gm.make_lr_tree(hyper, spatial_lr_scale, step)
     new_params, new_opt = optim.adam_update(
-        param_grads, state.opt, state.params, lrs
+        safe_grads, state.opt, state.params, lrs
+    )
+    new_params = jax.tree.map(
+        lambda n, o: jnp.where(finite, n, o), new_params, state.params
     )
     state = state._replace(params=new_params, opt=new_opt)
-    state = gm.add_densification_stats(state, ndc_grad, radii)
+    ndc_safe = jnp.where(finite, ndc_grad, jnp.zeros_like(ndc_grad))
+    state = gm.add_densification_stats(state, ndc_safe, radii)
     metrics = {"loss": loss, "l1": l1, "overflow": overflow,
-               "n_alive": gm.num_alive(state)}
+               "n_alive": gm.num_alive(state),
+               "nonfinite": jnp.logical_not(finite)}
     return state, metrics
 
 
@@ -178,6 +196,7 @@ class SceneTrainer:
         # (the reference reallocates per call, `rasterize_points.cu:27-33`)
         # without a blocking sync in the hot loop.
         overflow_inflight: list = []
+        nf_inflight: list = []
         for it in range(start_iteration + 1, iterations + 1):
             while overflow_inflight and (
                 len(overflow_inflight) > 1 or overflow_inflight[0].is_ready()
@@ -197,6 +216,16 @@ class SceneTrainer:
             probe = metrics["overflow"]
             probe.copy_to_host_async()
             overflow_inflight.append(probe)
+            nf = metrics["nonfinite"]
+            nf.copy_to_host_async()
+            nf_inflight.append((it, getattr(cam, "image_name", "?"), nf))
+            while nf_inflight and (
+                len(nf_inflight) > 1 or nf_inflight[0][2].is_ready()
+            ):
+                bad_it, bad_cam, flag = nf_inflight.pop(0)
+                if bool(flag):
+                    print(f"[ITER {bad_it}] WARNING: non-finite loss/grads "
+                          f"(camera '{bad_cam}') — update skipped")
             # Densification — gating matches `train_scene.py:124-134`:
             # the opacity reset is NOT nested under the densify-from gate, so
             # white-bg scenes reset at exactly it == densify_from_iter and

@@ -37,12 +37,39 @@ def lookat_qvec_tvec(eye, target):
     up2 = np.cross(fwd, right)
     Rwc = np.stack([right, up2, fwd], axis=0)
     t = -Rwc @ eye
-    tr = np.trace(Rwc)
-    w = np.sqrt(max(0.0, 1 + tr)) / 2
-    x = (Rwc[2, 1] - Rwc[1, 2]) / (4 * w)
-    y = (Rwc[0, 2] - Rwc[2, 0]) / (4 * w)
-    z = (Rwc[1, 0] - Rwc[0, 1]) / (4 * w)
-    return np.array([w, x, y, z]), t
+    # Robust rotmat→quat: branch on the largest of (trace, diagonal) so the
+    # w≈0 case (180° rotations) never divides by zero — the naive trace-only
+    # formula produced a NaN qvec for one camera of the committed synthetic
+    # scene, and a single NaN pose poisons Adam state for the whole model.
+    m = Rwc
+    tr = np.trace(m)
+    if tr > 0:
+        s = 2.0 * np.sqrt(1.0 + tr)
+        w = 0.25 * s
+        x = (m[2, 1] - m[1, 2]) / s
+        y = (m[0, 2] - m[2, 0]) / s
+        z = (m[1, 0] - m[0, 1]) / s
+    elif m[0, 0] >= m[1, 1] and m[0, 0] >= m[2, 2]:
+        s = 2.0 * np.sqrt(1.0 + m[0, 0] - m[1, 1] - m[2, 2])
+        w = (m[2, 1] - m[1, 2]) / s
+        x = 0.25 * s
+        y = (m[0, 1] + m[1, 0]) / s
+        z = (m[0, 2] + m[2, 0]) / s
+    elif m[1, 1] >= m[2, 2]:
+        s = 2.0 * np.sqrt(1.0 + m[1, 1] - m[0, 0] - m[2, 2])
+        w = (m[0, 2] - m[2, 0]) / s
+        x = (m[0, 1] + m[1, 0]) / s
+        y = 0.25 * s
+        z = (m[1, 2] + m[2, 1]) / s
+    else:
+        s = 2.0 * np.sqrt(1.0 + m[2, 2] - m[0, 0] - m[1, 1])
+        w = (m[1, 0] - m[0, 1]) / s
+        x = (m[0, 2] + m[2, 0]) / s
+        y = (m[1, 2] + m[2, 1]) / s
+        z = 0.25 * s
+    q = np.array([w, x, y, z])
+    q /= np.linalg.norm(q)
+    return q, t
 
 
 @pytest.fixture

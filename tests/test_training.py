@@ -182,3 +182,36 @@ def test_fresh_camera_permutation_per_epoch(synthetic_scene):
         tr._next_camera()
         epochs.append(tuple(tr._stack))  # remaining order after one pop
     assert len(set(epochs)) > 1, "camera order identical across epochs"
+
+
+def test_nonfinite_step_is_skipped(synthetic_scene):
+    """A camera with a NaN pose must not poison the optimizer: the step's
+    update is skipped wholesale (nonfinite metric set), parameters stay
+    finite, and training continues.  Regression for the synthetic-scene
+    failure where ONE NaN qvec silently drove every parameter to NaN while
+    the logged loss stayed finite at |GT|."""
+    import dataclasses
+    import jax
+
+    cams, cfg = synthetic_scene
+    rng = np.random.default_rng(0)
+    pts = np.asarray(cams[0].image).reshape(-1, 3)[:30] * 0  # dummy
+    pts = rng.normal(scale=0.4, size=(30, 3)).astype(np.float32)
+    cols = rng.uniform(0.2, 0.8, (30, 3)).astype(np.float32)
+    state = gm.create_from_points(pts, cols, sh_degree=0, capacity=64)
+
+    bad_params = dataclasses.replace(
+        cams[0].params,
+        world_view=jnp.full_like(cams[0].params.world_view, jnp.nan),
+    )
+    bad_cam = FakeCam(bad_params, cams[0].image)
+    order = [cams[0], bad_cam, cams[1]]
+
+    trainer = SceneTrainer(state, order, spatial_lr_scale=1.0,
+                           hyper=gm.TrainHyper(iterations=6), config=cfg)
+    trainer.run(iterations=6, log_every=1)
+    ms = trainer.metrics_history
+    assert any(m["nonfinite"] for m in ms), "NaN camera never flagged"
+    assert not all(m["nonfinite"] for m in ms)
+    for leaf in jax.tree.leaves(trainer.state.params):
+        assert np.isfinite(np.asarray(leaf)).all(), "params poisoned"
