@@ -126,12 +126,35 @@ def _pixel_basis(tile_size: int, p: int):
     return basis
 
 
+
 def _tri_excl(k: int):
     """Strictly upper-triangular ones (K, K): contracting x (P,K) with this
     yields the exclusive prefix-sum of x along the instance (lane) axis."""
     row = lax.broadcasted_iota(jnp.int32, (k, k), 0)
     col = lax.broadcasted_iota(jnp.int32, (k, k), 1)
     return (row < col).astype(jnp.float32)
+
+
+def _excl_cumsum_lanes(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
+    """Near-f32 EXCLUSIVE prefix sum along lanes via a 2-term bf16-split
+    triangular matmul.
+
+    At default MXU precision f32 inputs are rounded to bf16 (measured
+    3.7e-3 image / 0.64 relative gradient error on-chip; interpret mode
+    never sees this); precision=HIGHEST on a (K, K) operand made the Mosaic
+    compile take minutes and ran no faster than this.  Splitting
+    x = hi + lo with hi = bf16(x) makes hi·tri EXACT (tri is 0/1) and
+    leaves only lo's bf16 rounding: |err| ≤ 2^-17·Σ|x| ≈ 4e-5 for the
+    saturating log-transmittance sums — below f32 accumulation noise.
+    Two default-precision passes ≈ the cost of one."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = x - hi
+    dn = (((1,), (0,)), ((), ()))
+    return jax.lax.dot_general(
+        hi, tri, dimension_numbers=dn, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(
+        lo, tri, dimension_numbers=dn, preferred_element_type=jnp.float32
+    )
 
 
 def _chunk_coef(slab, tx0, ty0):
@@ -249,21 +272,22 @@ def _fwd_kernel(
         alpha, _, _ = _chunk_alpha(slab, basis, tx0, ty0, row0, start, end, k)
 
         log1m = jnp.log1p(-alpha)
-        cum_excl = jax.lax.dot_general(
-            log1m, tri,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (P, K)
+        cum_excl = _excl_cumsum_lanes(log1m, tri)  # (P, K)
         t_before = t_all * jnp.exp(cum_excl)
         t_after = t_before * (1.0 - alpha)
         include = (t_after >= T_EPS) & (alpha > 0.0)
 
         w = jnp.where(include, alpha * t_before, 0.0)  # (P, K)
         colors = slab[COLOR_OFFSET : COLOR_OFFSET + c_pad, :]  # (C_pad, K)
+        # precision=HIGHEST on the true matmuls: the MXU otherwise rounds
+        # f32 inputs to bf16 on real chips (measured 3.7e-3 image error and
+        # up to 0.64 relative gradient error on-chip; interpret mode never
+        # sees this).  These are (·, K)x(K, C_pad)-sized — cheap at 6-pass.
         acc = acc + jax.lax.dot_general(
             w, colors,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (P, C_pad)
 
         inc_log1m = jnp.where(include, log1m, 0.0)
@@ -447,11 +471,7 @@ def _bwd_kernel(
         gx, gy, ca, cb, cc, opa, log_opa = rows  # (1, K) each; gx/gy tile-local
 
         log1m = jnp.log1p(-alpha)
-        cum_excl = jax.lax.dot_general(
-            log1m, tri,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        cum_excl = _excl_cumsum_lanes(log1m, tri)
         t_before = t_all * jnp.exp(cum_excl)
         t_after = t_before * (1.0 - alpha)
         include = (t_after >= T_EPS) & (alpha > 0.0)
@@ -462,6 +482,7 @@ def _bwd_kernel(
             g_pix, w,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
         # u_i,p = (g·c_i) w_i,p ; inclusive prefix along instances.
@@ -469,13 +490,10 @@ def _bwd_kernel(
             g_pix, colors,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (P, K)
         u = g_dot_c * w
-        u_cum_excl = jax.lax.dot_general(
-            u, tri,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        u_cum_excl = _excl_cumsum_lanes(u, tri)
         u_prefix_i = u_prefix + u_cum_excl + u  # inclusive (P, K)
         suffix = u_total - u_prefix_i  # Σ_{j>i} u_j
 
