@@ -109,28 +109,64 @@ def main():
         (val, overflow), grads = jax.value_and_grad(loss, has_aux=True)(params)
         return val, overflow, grads.xyz
 
+    def time_step(step, arg):
+        """Median-of-5 timed blocks with scalar-readback sync.
+
+        block_until_ready is unreliable through remote-TPU relays, but a
+        host transfer cannot complete before the computation (the
+        2.2-vs-5.66 single-block spread across rounds 1-3 — BASELINE.md).
+        """
+        iters = 10 if on_tpu else 3
+        blocks = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                _, _, g = step(arg)
+            float(jnp.sum(g))
+            blocks.append((time.perf_counter() - t0) / iters)
+        return float(np.median(blocks)), blocks
+
     step = jax.jit(fwd_bwd)
     val, overflow, g = step(p)  # compile + warmup
-    # scalar readback: block_until_ready is unreliable through remote-TPU
-    # relays, but a host transfer cannot complete before the computation.
     float(jnp.sum(g))
     assert not bool(overflow), "instance capacity overflow — raise cap"
-
-    # Median of 5 timed blocks: single blocks vary with relay readback
-    # scheduling (the 2.2-vs-5.66 spread across rounds 1-3 — BASELINE.md).
-    iters = 10 if on_tpu else 3
-    blocks = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            val, overflow, g = step(p)
-        float(jnp.sum(g))
-        blocks.append((time.perf_counter() - t0) / iters)
-    dt = float(np.median(blocks))
-    print(f"# block times (s): {[round(b, 4) for b in blocks]}",
+    dt, blocks = time_step(step, p)
+    print(f"# RGB block times (s): {[round(b, 4) for b in blocks]}",
           file=sys.stderr, flush=True)
-
     mpix_s = (W * H / dt) / 1e6
+
+    # --- 32-dim feature path (the contrastive hot loop: precomputed
+    # "colors" = per-Gaussian features, `train_contrastive_feature.py:231` →
+    # `diff-gaussian-rasterization_contrastive_f` with NUM_CHANNELS 32).
+    feats = jnp.asarray(rng.normal(size=(n, 32)) * 0.1, jnp.float32)
+
+    def fwd_bwd_feat(f32):
+        def loss(fv):
+            out = rasterize(
+                p.xyz,
+                gm.get_opacity(p)[:, 0],
+                cam,
+                colors=fv,
+                scales=gm.get_scaling(p),
+                rotations=gm.get_rotation(p),
+                bg=jnp.zeros(32),
+                active_mask=state.alive,
+                config=cfg,
+            )
+            return jnp.sum(out.color), out.overflow
+
+        (val, overflow), grads = jax.value_and_grad(loss, has_aux=True)(f32)
+        return val, overflow, grads
+
+    step_f = jax.jit(fwd_bwd_feat)
+    _, overflow_f, gf = step_f(feats)
+    float(jnp.sum(gf))
+    assert not bool(overflow_f)
+    dt_f, blocks_f = time_step(step_f, feats)
+    print(f"# C=32 block times (s): {[round(b, 4) for b in blocks_f]}",
+          file=sys.stderr, flush=True)
+    feat_mpix_s = (W * H / dt_f) / 1e6
+
     print(
         json.dumps(
             {
@@ -138,6 +174,7 @@ def main():
                 "value": round(mpix_s, 2),
                 "unit": "Mpix/s/chip",
                 "vs_baseline": round(mpix_s / A100_FWD_BWD_MPIX_S, 3),
+                "feature32_mpix_per_s": round(feat_mpix_s, 2),
             }
         )
     )

@@ -88,6 +88,7 @@ def main(argv=None):
     path = scene.save_feature(
         hyper.iterations, target=args.target, smooth_type=hyper.smooth_type,
         smooth_k=hyper.smooth_k,
+        multi_res_maps=trainer.consts.multi_res_maps or None, seed=args.seed,
     )
     gate_path = os.path.join(os.path.dirname(path), "scale_gate.pt")
     save_scale_gate(gate_path, trainer.gate_params)

@@ -119,6 +119,36 @@ def from_scene_geometry(
     )
 
 
+def from_point_cloud(
+    points: np.ndarray,
+    feature_dim: int = 32,
+    smooth_k: int = 16,
+    capacity: Optional[int] = None,
+) -> FeatureState:
+    """``FeatureGaussianModel.create_from_pcd`` (`gaussian_model_ff.py:493-521`):
+    fresh geometry from bare points — log-scales from the 3-NN mean squared
+    distance, identity quats, opacity 0.1 — with zero features.  Used by the
+    ``init_from_3dgs_pcd`` path (`scene/__init__.py:196-207`: init a feature
+    model from a trained scene PLY's xyz only)."""
+    from seganygaussians_tpu.ops.knn import mean_sq_dist_to_3nn
+    from seganygaussians_tpu.ops.transforms import inverse_sigmoid
+
+    n = points.shape[0]
+    if capacity is None:
+        capacity = n
+    assert n <= capacity
+    xyz = jnp.asarray(points, jnp.float32)
+    dist2 = jnp.maximum(mean_sq_dist_to_3nn(xyz), 1e-7)
+    scales = jnp.log(jnp.sqrt(dist2))[:, None].repeat(3, axis=1)
+    rots = jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (n, 1))
+    opac = inverse_sigmoid(0.1 * jnp.ones((n, 1), jnp.float32))
+    return from_scene_geometry(
+        np.asarray(xyz), np.asarray(scales), np.asarray(rots), np.asarray(opac),
+        feature_dim=feature_dim, target="feature", smooth_k=smooth_k,
+        capacity=capacity,
+    )
+
+
 def smoothed_point_features(
     state: FeatureState,
     key: Optional[jax.Array] = None,
@@ -162,19 +192,25 @@ def build_multi_res_maps(
     Mirrors the cached ``multi_res_feature_smooth_map`` of the reference
     (`gaussian_model_ff.py:366-390`: the per-(rate, K) KNN maps are computed
     once under no_grad and reused across iterations): level i subsamples
-    points at ``sample_rates[i]`` and maps every point to its K_i nearest
-    *subsampled* points.  Subsampling keeps shapes static by displacing
-    dropped points far outside the cloud so the Morton-window KNN never
-    selects them.  Build once (host side), pass to
-    :func:`multi_res_smoothed_features` inside the jitted step.
+    points at ``sample_rates[i]`` and maps every point — queried from its
+    ORIGINAL position — to its K_i nearest *subsampled* points
+    (``knn_points(xyz, xyz[pm])`` semantics: a selected point finds itself at
+    distance 0; a dropped point smooths purely over the coarse subsample).
+    Shapes stay static: dropped/dead points are displaced far outside the
+    cloud in their *source* role only (:func:`knn_query_source`).  Build once
+    (host side), pass to :func:`multi_res_smoothed_features` inside the
+    jitted step.
     """
+    from seganygaussians_tpu.ops.knn import knn_query_source
+
     xyz = state.geom.xyz
     span = jnp.max(xyz) - jnp.min(xyz) + 1.0
     maps = []
     for i, (rate, k) in enumerate(zip(sample_rates, ks)):
         pm = jax.random.uniform(keys[i], (xyz.shape[0],)) < min(rate, 1.0)
-        xyz_masked = jnp.where(pm[:, None], xyz, xyz + 100.0 * span)
-        maps.append(build_smooth_map(xyz_masked, k))
+        pm = pm & state.geom.alive
+        source = jnp.where(pm[:, None], xyz, xyz + 100.0 * span)
+        maps.append(knn_query_source(xyz, source, k))
     return tuple(maps)
 
 
@@ -239,25 +275,19 @@ def init_grid_levels(
 ) -> GridLevels:
     """`initialize_multi_res_feature` (`gaussian_model_ff.py:201-230`):
     quantise xyz per level to a grid, compact the occupied cell ids, and
-    allocate a zero feature table per level.  The compacting uses a sort-
-    based unique (the reference's per-unique python loop is O(N·U))."""
-    n = xyz.shape[0]
+    allocate a zero feature table per level.  Runs host-side once at init, so
+    the compaction is ``np.unique`` over the integer (qx, qy, qz) triples —
+    collision-free regardless of grid extent (a flattened int cell id can
+    overflow int32 for large scenes at fine strides; the reference avoids
+    this only because torch defaults to int64, `gaussian_model_ff.py:208`)."""
+    xyz_np = np.asarray(xyz, np.float64)
     idx_cols, tables = [], []
     for stride, fd in zip(strides, feature_dims):
-        norm = (xyz - jnp.min(xyz, axis=0, keepdims=True)) / stride
-        q = jnp.ceil(norm).astype(jnp.int64)
-        num_x = jnp.max(q[:, 0])
-        num_y = jnp.max(q[:, 1])
-        cell = q[:, 0] + q[:, 1] * num_x + q[:, 2] * num_x * num_y
-        # compact: rank of each point's cell among sorted unique cells
-        s = jnp.sort(cell)
-        is_new = jnp.concatenate([jnp.ones((1,), jnp.int32), (s[1:] != s[:-1]).astype(jnp.int32)])
-        uniq_rank = jnp.cumsum(is_new) - 1
-        # map each cell value to its rank via searchsorted over sorted cells
-        pos = jnp.searchsorted(s, cell)
-        compact = uniq_rank[pos].astype(jnp.int32)
-        num_cells = int(uniq_rank[-1]) + 1
-        idx_cols.append(compact)
+        q = np.ceil((xyz_np - xyz_np.min(axis=0, keepdims=True)) / stride)
+        q = q.astype(np.int64)
+        _, compact = np.unique(q, axis=0, return_inverse=True)
+        num_cells = int(compact.max()) + 1
+        idx_cols.append(jnp.asarray(compact, jnp.int32))
         tables.append(jnp.zeros((num_cells, fd), jnp.float32))
     return GridLevels(
         idx_mapper=jnp.stack(idx_cols, axis=-1), tables=tuple(tables)

@@ -93,9 +93,10 @@ def _expand_int(field: jnp.ndarray, offsets: jnp.ndarray, capacity: int) -> jnp.
     telescope away).  Exact integer scatter-add of deltas at segment starts
     followed by an inclusive cumsum — no per-slot gathers."""
     deltas = jnp.diff(field, prepend=jnp.zeros((1,), field.dtype))
-    base = jnp.zeros((capacity,), field.dtype).at[jnp.minimum(offsets, capacity - 1)].add(
-        deltas, mode="drop"
-    )
+    # mode="drop" discards out-of-range offsets (≥ capacity) outright — a
+    # clamp to capacity-1 would corrupt the last in-range slot whenever
+    # trailing culled/zero-tile Gaussians share offset == capacity.
+    base = jnp.zeros((capacity,), field.dtype).at[offsets].add(deltas, mode="drop")
     return jnp.cumsum(base)
 
 
@@ -138,9 +139,12 @@ def expand_slots(
         [jnp.arange(n, dtype=jnp.int32), offsets, packed_rect], axis=-1
     )  # (N, 3)
     deltas = jnp.diff(fields_n, axis=0, prepend=jnp.zeros((1, 3), jnp.int32))
+    # mode="drop" discards offsets ≥ capacity; clamping them to capacity-1
+    # would corrupt the final slot's rank/offset/rect whenever trailing
+    # culled Gaussians share offset == capacity (even without overflow).
     base = (
         jnp.zeros((capacity, 3), jnp.int32)
-        .at[jnp.minimum(offsets, capacity - 1)]
+        .at[offsets]
         .add(deltas, mode="drop")
     )
     per_slot = jnp.cumsum(base, axis=0)  # (M, 3) exact int reconstruction

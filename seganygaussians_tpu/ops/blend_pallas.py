@@ -52,17 +52,31 @@ from seganygaussians_tpu.ops.blend import ALPHA_MAX, ALPHA_MIN, T_EPS, BlendOutp
 COLOR_OFFSET = 8
 CHUNK = 256  # instances per inner step (lane axis; multiple of 128)
 
+# Per-pass P·K budgets (P = tile_size² pixels, K = chunk lanes).  The
+# kernels hold several (P, K) f32 intermediates; at P=1024 (32x32 tiles) the
+# BACKWARD at K=256 blows up the Mosaic compile (observed: never finished),
+# while K=128 compiles and runs well.  The FORWARD is smaller (fewer live
+# (P, K) arrays) and compiles fine at twice the budget — and per-chunk
+# fixed cost (DMA waits, while_loop step, matmul issue) is a large share of
+# kernel time, so fewer/bigger chunks win.  Env overrides for experiments:
+# SAGA_FWD_PK / SAGA_BWD_PK / SAGA_MAX_CHUNK.
+_PK_BUDGET = {"fwd": 262144, "bwd": 131072}
 
-def chunk_for(tile_size: int) -> int:
-    """Instances per inner step for a given tile size.
 
-    The kernels hold several (P, K) f32 intermediates (P = tile_size²); at
-    P=1024 (32x32 tiles) K=256 blows up the Mosaic compile (observed: the
-    backward kernel never finished compiling), while K=128 compiles and runs
-    well.  Keep P·K ≈ 131072 so the intermediate footprint is constant
-    across tile sizes, capped at the classic CHUNK for small tiles."""
+def chunk_for(tile_size: int, kind: str = "bwd") -> int:
+    """Instances per inner step for a given tile size and pass."""
+    import os
+
     p = tile_size * tile_size
-    return min(CHUNK, max(64, 131072 // p))
+    budget = int(os.environ.get(f"SAGA_{kind.upper()}_PK", _PK_BUDGET[kind]))
+    cap = int(os.environ.get("SAGA_MAX_CHUNK", CHUNK))
+    return min(cap, max(64, budget // p))
+
+
+def pad_chunk_for(tile_size: int) -> int:
+    """Instance-count padding granularity: a common multiple of both passes'
+    chunk sizes (both are powers of two, so the max divides evenly)."""
+    return max(chunk_for(tile_size, "fwd"), chunk_for(tile_size, "bwd"))
 
 
 def _interpret() -> bool:
@@ -233,7 +247,7 @@ def _fwd_kernel(
 ):
     t = pl.program_id(0)
     p = tile_size * tile_size
-    k = chunk_for(tile_size)
+    k = chunk_for(tile_size, "fwd")
 
     start = starts_ref[t]
     end = starts_ref[t + 1]
@@ -336,7 +350,7 @@ def _fwd_call(inst, tile_starts, bg_pad, *, num_tiles, grid_x, tile_size, c_pad)
             pl.BlockSpec((1, p, 1), lambda t, s: (t, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, f, chunk_for(tile_size)), jnp.float32),
+            pltpu.VMEM((2, f, chunk_for(tile_size, "fwd")), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -387,7 +401,7 @@ def _bwd_kernel(
     t = pl.program_id(0)
     num_tiles = pl.num_programs(0)
     p = tile_size * tile_size
-    k = chunk_for(tile_size)
+    k = chunk_for(tile_size, "bwd")
 
     @pl.when(t == 0)
     def _():
@@ -618,9 +632,9 @@ def _bwd_call(
             pl.BlockSpec(memory_space=pl.ANY),  # dinst
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, f, chunk_for(tile_size)), jnp.float32),
-            pltpu.VMEM((2, f, chunk_for(tile_size)), jnp.float32),
-            pltpu.VMEM((f, chunk_for(tile_size)), jnp.float32),
+            pltpu.VMEM((2, f, chunk_for(tile_size, "bwd")), jnp.float32),
+            pltpu.VMEM((2, f, chunk_for(tile_size, "bwd")), jnp.float32),
+            pltpu.VMEM((f, chunk_for(tile_size, "bwd")), jnp.float32),
             pltpu.SMEM((4,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -667,7 +681,7 @@ def _blend_fwd(
     c = colors.shape[-1]
     c_pad = _pad_channels(c)
     m = gauss_id.shape[0]
-    ck = chunk_for(tile_size)
+    ck = pad_chunk_for(tile_size)
     m_pad = ((m + ck - 1) // ck) * ck
     inst = _pack_instances(gauss_id, means2d, conics, opacities, colors, m_pad)
     bg_pad = jnp.pad(bg.reshape(1, -1), ((0, 0), (0, c_pad - c)))
@@ -842,7 +856,7 @@ def _fused_fwd(slot_rank, slot_tile, fields, bg, c, grid_x, grid_y, tile_size):
     num_tiles = grid_x * grid_y
     c_pad = _pad_channels(c)
     m = orig_m = slot_rank.shape[0]
-    ck = chunk_for(tile_size)
+    ck = pad_chunk_for(tile_size)
     if m % ck:
         pad = ck - m % ck
         slot_rank = jnp.pad(slot_rank, (0, pad))
@@ -953,7 +967,7 @@ def _sortfree_fwd(sorted_gauss, tile_starts, fields, bg, c, grid_x, grid_y, tile
     num_tiles = grid_x * grid_y
     c_pad = _pad_channels(c)
     m = orig_m = sorted_gauss.shape[0]
-    ck = chunk_for(tile_size)
+    ck = pad_chunk_for(tile_size)
     if m % ck:
         pad = ck - m % ck
         sorted_gauss = jnp.pad(sorted_gauss, (0, pad))

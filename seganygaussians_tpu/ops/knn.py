@@ -68,22 +68,36 @@ def morton_codes(xyz: jnp.ndarray) -> jnp.ndarray:
 
 
 def _window_candidates(
-    xyz: jnp.ndarray, window: int, rot: np.ndarray, keep: int
+    xyz: jnp.ndarray,
+    window: int,
+    rot: np.ndarray,
+    keep: int,
+    cand_mask: jnp.ndarray | None = None,
+    cand_idx: jnp.ndarray | None = None,
+    sentinel: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One Morton pass → per-point ``keep`` best (d2, idx), ORIGINAL row order.
 
     The sort key is the Morton code of the *rotated* cloud; distances are in
-    the original frame.  The ±W Morton-order window is materialised with ONE
-    coherent ascending row gather of a (N, 2W) sliding-index matrix (the
-    fast-path gather shape on TPU; an earlier revision used 2W static
-    ``jnp.roll`` ops, whose graph at W=64 dominated compile time).  Window
-    wrap-around is masked to +inf.  Per-pass ``top_k(keep)`` is lossless for
-    a global top-``keep`` merge: any globally-best candidate is also among
-    its own pass's best ``keep``.
+    the original frame.  Window wrap-around and non-candidate rows
+    (``cand_mask`` False) are masked to +inf distance with their index set to
+    ``sentinel`` (one past the largest real index) so the cross-pass
+    index-sort dedup in :func:`_merged_candidates` can never collapse a
+    genuine candidate onto masked junk.  ``cand_idx`` is the index *reported*
+    for each candidate row (used by :func:`knn_query_source` to report
+    source-row ids from a combined query+source cloud).  Per-pass
+    ``top_k(keep)`` is lossless for a global top-``keep`` merge: any
+    globally-best candidate is also among its own pass's best ``keep``.
     """
     n = xyz.shape[0]
+    if cand_idx is None:
+        cand_idx = jnp.arange(n, dtype=jnp.int32)
+    if sentinel is None:
+        sentinel = n
     order = jnp.argsort(morton_codes(xyz @ jnp.asarray(rot.T)))
     xyz_s = xyz[order]
+    idx_s0 = cand_idx[order].astype(jnp.int32)
+    mask_s = None if cand_mask is None else cand_mask[order]
     pos = jnp.arange(n)
 
     # Stream the ±W window in groups of G shifts, maintaining a RUNNING
@@ -101,11 +115,13 @@ def _window_candidates(
             d = g * G + j + 1
             for s in (1, -1):
                 nb = jnp.roll(xyz_s, -s * d, axis=0)
-                nbi = jnp.roll(order, -s * d)
+                nbi = jnp.roll(idx_s0, -s * d)
                 dist = jnp.sum((xyz_s - nb) ** 2, axis=-1)
-                valid = (pos + s * d >= 0) & (pos + s * d < n)
-                rows_d2.append(jnp.where(valid & (d <= window), dist, jnp.inf))
-                rows_idx.append(nbi)
+                valid = (pos + s * d >= 0) & (pos + s * d < n) & (d <= window)
+                if mask_s is not None:
+                    valid = valid & jnp.roll(mask_s, -s * d)
+                rows_d2.append(jnp.where(valid, dist, jnp.inf))
+                rows_idx.append(jnp.where(valid, nbi, sentinel))
         d2_cat = jnp.concatenate([d2_best, jnp.stack(rows_d2)], axis=0)
         idx_cat = jnp.concatenate([idx_best, jnp.stack(rows_idx)], axis=0)
         d2_s, idx_s = lax.sort((d2_cat, idx_cat), dimension=0, num_keys=1)
@@ -113,7 +129,7 @@ def _window_candidates(
 
     init = (
         jnp.full((keep, n), jnp.inf, jnp.float32),
-        jnp.zeros((keep, n), jnp.int32),
+        jnp.full((keep, n), sentinel, jnp.int32),
     )
     d2_best, idx_best = lax.fori_loop(0, (window + G - 1) // G, group, init)
 
@@ -122,19 +138,26 @@ def _window_candidates(
     return d2_best.T[inv], idx_best.T[inv]
 
 
-def _merged_candidates(xyz, window, num_passes, keep):
+def _merged_candidates(
+    xyz, window, num_passes, keep, cand_mask=None, cand_idx=None, sentinel=None
+):
     keep = min(keep, 2 * window)
     d2s, idxs = zip(
         *[
-            _window_candidates(xyz, window, r, keep)
+            _window_candidates(
+                xyz, window, r, keep,
+                cand_mask=cand_mask, cand_idx=cand_idx, sentinel=sentinel,
+            )
             for r in _fixed_rotations(num_passes)
         ]
     )
     d2 = jnp.concatenate(d2s, axis=-1)  # (N, S·keep)
     idx = jnp.concatenate(idxs, axis=-1)
-    # Dedup across passes: sort each row by neighbour index, kill repeats —
-    # top-k afterwards doesn't care about order.
-    idx_s, d2_s = lax.sort((idx, d2), num_keys=1)
+    # Dedup across passes: sort each row by (neighbour index, d2), kill
+    # repeats — top-k afterwards doesn't care about order.  Masked junk all
+    # carries the same sentinel index + inf distance, so it can only dedup
+    # against itself, never against a genuine candidate.
+    idx_s, d2_s = lax.sort((idx, d2), num_keys=2)
     dup = jnp.concatenate(
         [jnp.zeros_like(idx_s[:, :1], bool), idx_s[:, 1:] == idx_s[:, :-1]], axis=-1
     )
@@ -173,5 +196,49 @@ def knn_map(
     if window is None:
         window = max(4 * k, 32)
     d2, idx = _merged_candidates(xyz, window, num_passes, keep=k)
-    _, nk_col = lax.top_k(-d2, k)
-    return jnp.take_along_axis(idx, nk_col, axis=-1)
+    neg_d2, nk_col = lax.top_k(-d2, k)
+    nbrs = jnp.take_along_axis(idx, nk_col, axis=-1)
+    # Junk slots (fewer than k real candidates in any window) fall back to
+    # self: harmless for every consumer (smoothing means include self anyway)
+    # and always in-bounds, unlike the sentinel index.
+    self_idx = jnp.arange(xyz.shape[0], dtype=nbrs.dtype)[:, None]
+    return jnp.where(jnp.isfinite(neg_d2), nbrs, self_idx)
+
+
+def knn_query_source(
+    query: jnp.ndarray,
+    source: jnp.ndarray,
+    k: int,
+    window: int | None = None,
+    num_passes: int = 7,
+) -> jnp.ndarray:
+    """(Nq, k) indices into ``source`` of each query's k nearest source points.
+
+    The asymmetric form of :func:`knn_map` — pytorch3d
+    ``knn_points(query, source)`` semantics (`gaussian_model_ff.py:380`:
+    multi-res smoothing maps EVERY point to its K nearest *subsampled*
+    points).  Implementation: one combined (Nq+Ns) cloud run through the same
+    Morton windowed scan, with non-source rows masked out of the candidate
+    role; a query that is also present in ``source`` finds its co-located
+    source copy at distance 0, reproducing knn_points' self-inclusion.
+    """
+    if window is None:
+        # Twice the symmetric default: query rows occupy roughly half of any
+        # Morton window in the combined cloud, halving source coverage.
+        window = max(8 * k, 64)
+    nq, ns = query.shape[0], source.shape[0]
+    both = jnp.concatenate([query, source], axis=0)
+    is_source = jnp.arange(nq + ns) >= nq
+    # Report source-row ids for source rows; query rows are never candidates.
+    rep_idx = jnp.where(is_source, jnp.arange(nq + ns) - nq, ns).astype(jnp.int32)
+    d2, idx = _merged_candidates(
+        both, window, num_passes, keep=k,
+        cand_mask=is_source, cand_idx=rep_idx, sentinel=ns,
+    )
+    neg_d2, nk_col = lax.top_k(-d2, k)
+    nbrs = jnp.take_along_axis(idx, nk_col, axis=-1)[:nq]
+    finite = jnp.isfinite(neg_d2)[:nq]
+    # Junk slots fall back to the query's best real source neighbour
+    # (column 0); if a query found no source at all, clamp to 0.
+    best = jnp.where(finite[:, :1], nbrs[:, :1], 0)
+    return jnp.where(finite, nbrs, best)

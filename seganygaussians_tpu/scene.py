@@ -200,7 +200,26 @@ class Scene:
                 self.active_sh_degree = 0
         # ---- feature gaussians
         if need_features_model:
-            if target in ("contrastive_feature", "coarse_seg_everything") and mode == "train":
+            if target == "feature" and not self.feature_loaded_iter:
+                # `scene/__init__.py:196-207`: a fresh feature model, seeded
+                # either from the trained scene PLY's xyz (init_from_3dgs_pcd)
+                # or from the Colmap point cloud.
+                if cfg.init_from_3dgs_pcd:
+                    scene_iter = (
+                        self.loaded_iter
+                        or search_for_max_iteration(pc_dir, "scene")
+                    )
+                    src = os.path.join(
+                        pc_dir, f"iteration_{scene_iter}", "scene_point_cloud.ply"
+                    )
+                    pts = plyio.load_gaussians_ply(src)["xyz"]
+                else:
+                    pts = info.points
+                self.feature_gaussians = fgm.from_point_cloud(
+                    np.asarray(pts), feature_dim=cfg.feature_dim,
+                    capacity=_auto_capacity(len(pts), cfg.capacity),
+                )
+            elif target in ("contrastive_feature", "coarse_seg_everything") and mode == "train":
                 scene_iter = self.loaded_iter or search_for_max_iteration(pc_dir, "scene")
                 src = os.path.join(
                     pc_dir, f"iteration_{scene_iter}", "scene_point_cloud.ply"
@@ -258,17 +277,26 @@ class Scene:
     def save_feature(
         self, iteration: int, target: str = "contrastive_feature",
         smooth_type: Optional[str] = "traditional", smooth_k: int = 16,
+        multi_res_maps: Optional[tuple] = None, seed: int = 0,
     ) -> str:
         """Save the feature PLY — with SMOOTHED features when smooth_type is
         'traditional' (`train_contrastive_feature.py:318` →
-        `gaussian_model_ff.py:567-594`, dropout −1 ⇒ all K neighbours)."""
+        `gaussian_model_ff.py:567-594`, dropout −1 ⇒ all K neighbours).
+
+        For 'multi_res', pass the trainer's cached ``multi_res_maps`` (or at
+        least its ``seed``) so export smoothing uses the SAME per-level
+        subsamples the features were optimised against (the reference reuses
+        one cached multi_res_feature_smooth_map for both training and save,
+        `gaussian_model_ff.py:366-400`)."""
         fs = self.feature_gaussians
         if smooth_type == "traditional":
             feats = np.asarray(fgm.smoothed_point_features(fs, key=None, dropout=-1.0))
         elif smooth_type == "multi_res":
             import jax as _jax
 
-            maps = fgm.build_multi_res_maps(fs, _jax.random.split(_jax.random.PRNGKey(0), 3))
+            maps = multi_res_maps or fgm.build_multi_res_maps(
+                fs, _jax.random.split(_jax.random.PRNGKey(seed), 3)
+            )
             feats = np.asarray(fgm.multi_res_smoothed_features(fs, maps))
         else:
             feats = np.asarray(fs.point_features)

@@ -161,33 +161,127 @@ def lift_scores_to_3d(
     return (acc > threshold) & state.alive
 
 
-class ClipEncoder:
-    """Pluggable text/image encoder.  Uses HF transformers CLIP if model
-    weights are available locally; otherwise raises with guidance to use the
-    precomputed ``clip_features`` sidecars (the reference's own offline
-    pipeline, `get_clip_features.py`)."""
+class _OpenClipImpl:
+    """OpenCLIP backend — reference parity (`clip_utils/clip_utils.py:56-95`:
+    ViT-B-16 laion2b_s34b_b88k).  Reference-produced ``clip_features``
+    sidecars were embedded with THIS text/image tower; scores against them
+    are only meaningful with this backend."""
 
-    def __init__(self, model_name: str = "openai/clip-vit-base-patch16"):
-        try:
-            from transformers import CLIPModel, CLIPProcessor
+    def __init__(self, model_name: str, pretrained: str):
+        import open_clip
 
-            self.model = CLIPModel.from_pretrained(model_name)
-            self.processor = CLIPProcessor.from_pretrained(model_name)
-        except Exception as e:  # no weights / no network
-            raise RuntimeError(
-                "CLIP weights unavailable locally; precompute clip_features "
-                "sidecars offline (get_clip_features flow) and query with "
-                "those embeddings instead"
-            ) from e
+        model, _, _ = open_clip.create_model_and_transforms(
+            model_name, pretrained=pretrained
+        )
+        model.eval()
+        self.model = model
+        self.tokenizer = open_clip.get_tokenizer(model_name)
+
+    def encode_text(self, prompts: list[str]) -> np.ndarray:
+        import torch
+
+        with torch.no_grad():
+            tok = torch.cat([self.tokenizer(p) for p in prompts])
+            out = self.model.encode_text(tok)
+        return out.float().numpy()
+
+    def encode_image(self, images: np.ndarray) -> np.ndarray:
+        import torch
+
+        # 224² resize + CLIP normalisation (`clip_utils/clip_utils.py:60-68,
+        # 201-203`).
+        mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+        std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+        t = torch.from_numpy(np.asarray(images, np.float32)).permute(0, 3, 1, 2)
+        t = torch.nn.functional.interpolate(
+            t, size=(224, 224), mode="bilinear", align_corners=False
+        )
+        t = (t - torch.from_numpy(mean)[None, :, None, None]) / torch.from_numpy(
+            std
+        )[None, :, None, None]
+        with torch.no_grad():
+            out = self.model.encode_image(t)
+        return out.float().numpy()
+
+
+class _HfClipImpl:
+    """HF transformers fallback (different weights than the reference's
+    laion2b tower — do NOT score reference-made sidecars with this)."""
+
+    def __init__(self, model_name: str):
+        from transformers import CLIPModel, CLIPProcessor
+
+        self.model = CLIPModel.from_pretrained(model_name)
+        self.processor = CLIPProcessor.from_pretrained(model_name)
 
     def encode_text(self, prompts: list[str]) -> np.ndarray:
         import torch
 
         inputs = self.processor(text=prompts, return_tensors="pt", padding=True)
         with torch.no_grad():
-            out = self.model.get_text_features(**inputs)
-        out = out / out.norm(dim=-1, keepdim=True)
-        return out.numpy()
+            return self.model.get_text_features(**inputs).numpy()
+
+    def encode_image(self, images: np.ndarray) -> np.ndarray:
+        import torch
+
+        inputs = self.processor(images=list(images), return_tensors="pt")
+        with torch.no_grad():
+            return self.model.get_image_features(**inputs).numpy()
+
+
+class ClipEncoder:
+    """Pluggable text/image encoder.
+
+    Backend order mirrors the reference: OpenCLIP ViT-B-16 laion2b_s34b_b88k
+    (`clip_utils/clip_utils.py:56-95`) when ``open_clip`` is importable —
+    required for compatibility with reference-produced ``clip_features``
+    sidecars — then HF transformers CLIP as a fallback (different weights;
+    cross-scoring against laion2b sidecars will not match).  ``_impl`` is a
+    seam for tests: any object with ``encode_text(prompts) -> (P, D)`` and
+    ``encode_image(images) -> (B, D)`` (un-normalised) plugs in.
+    """
+
+    def __init__(
+        self,
+        model_name: str = "ViT-B-16",
+        pretrained: str = "laion2b_s34b_b88k",
+        hf_model_name: str = "openai/clip-vit-base-patch16",
+        backend: str = "auto",
+        _impl=None,
+    ):
+        if _impl is not None:
+            self.backend = "injected"
+            self._impl = _impl
+            return
+        errors = []
+        if backend in ("auto", "open_clip"):
+            try:
+                self._impl = _OpenClipImpl(model_name, pretrained)
+                self.backend = "open_clip"
+                return
+            except Exception as e:  # no open_clip / no weights
+                errors.append(f"open_clip: {e}")
+                if backend == "open_clip":
+                    raise RuntimeError(
+                        "OpenCLIP weights unavailable locally; precompute "
+                        "clip_features sidecars offline (get_clip_features "
+                        "flow) and query with those embeddings instead"
+                    ) from e
+        try:
+            self._impl = _HfClipImpl(hf_model_name)
+            self.backend = "hf"
+        except Exception as e:
+            errors.append(f"hf: {e}")
+            raise RuntimeError(
+                "CLIP weights unavailable locally "
+                f"({'; '.join(errors)}); precompute clip_features sidecars "
+                "offline (get_clip_features flow) and query with those "
+                "embeddings instead"
+            ) from e
+
+    def encode_text(self, prompts: list[str]) -> np.ndarray:
+        out = np.asarray(self._impl.encode_text(prompts), np.float32)
+        return out / np.linalg.norm(out, axis=-1, keepdims=True).clip(1e-12)
 
     def encode_text_with_template(
         self, texts: list[str], template: Optional[list[str]] = None
@@ -201,10 +295,5 @@ class ClipEncoder:
         return emb / np.linalg.norm(emb, axis=-1, keepdims=True)
 
     def encode_image(self, images: np.ndarray) -> np.ndarray:
-        import torch
-
-        inputs = self.processor(images=list(images), return_tensors="pt")
-        with torch.no_grad():
-            out = self.model.get_image_features(**inputs)
-        out = out / out.norm(dim=-1, keepdim=True)
-        return out.numpy()
+        out = np.asarray(self._impl.encode_image(images), np.float32)
+        return out / np.linalg.norm(out, axis=-1, keepdims=True).clip(1e-12)

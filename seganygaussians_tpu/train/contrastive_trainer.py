@@ -344,7 +344,6 @@ class ContrastiveTrainer:
     hyper: ContrastiveHyper = ContrastiveHyper()
     config: RasterConfig = RasterConfig()
     seed: int = 0
-    feature_resolution: Optional[tuple[int, int]] = None  # (W, H); None ⇒ mask res
 
     def __post_init__(self):
         self.key = jax.random.PRNGKey(self.seed)

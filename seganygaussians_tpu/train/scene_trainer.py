@@ -272,9 +272,17 @@ class SceneTrainer:
             )[1]))
         return float(np.mean(vals))
 
-    def eval_report(self, cameras) -> dict:
-        """Held-out L1 + PSNR (`training_report`, `train_scene.py:167-202`)."""
-        l1s, psnrs = [], []
+    def eval_report(self, cameras, with_lpips: bool = False) -> dict:
+        """Held-out L1 + PSNR (`training_report`, `train_scene.py:167-202`),
+        plus LPIPS when requested and the optional dependency is installed
+        (`lpipsPyTorch/__init__.py:6-21` — the reference's third metric)."""
+        l1s, psnrs, lps = [], [], []
+        lp_fn = None
+        if with_lpips:
+            from seganygaussians_tpu.utils import lpips_metric
+
+            if lpips_metric.lpips_available():
+                lp_fn = lpips_metric.lpips
         for cam in cameras:
             l1, ps = _eval_step(
                 self.state, cam.params, jnp.asarray(cam.image), self.bg,
@@ -282,7 +290,31 @@ class SceneTrainer:
             )
             l1s.append(float(l1))
             psnrs.append(float(ps))
-        return {"l1": float(np.mean(l1s)), "psnr": float(np.mean(psnrs))}
+            if lp_fn is not None:
+                img = np.clip(np.asarray(_render_image(
+                    self.state, cam.params, self.bg,
+                    self.active_sh_degree, self.config)), 0, 1)
+                lps.append(lp_fn(img, np.asarray(cam.image)))
+        out = {"l1": float(np.mean(l1s)), "psnr": float(np.mean(psnrs))}
+        if lps:
+            out["lpips"] = float(np.mean(lps))
+        return out
+
+
+@functools.partial(jax.jit, static_argnames=("active_sh_degree", "config"))
+def _render_image(state, camera, bg, active_sh_degree, config):
+    return rasterize(
+        state.params.xyz,
+        gm.get_opacity(state.params)[:, 0],
+        camera,
+        shs=gm.get_shs(state.params),
+        sh_degree=active_sh_degree,
+        scales=gm.get_scaling(state.params),
+        rotations=gm.get_rotation(state.params),
+        bg=bg,
+        active_mask=state.alive,
+        config=config,
+    ).color
 
 
 @functools.partial(jax.jit, static_argnames=("active_sh_degree", "config"))

@@ -55,3 +55,17 @@ def test_l1_psnr(rng):
     np.testing.assert_allclose(float(losses.l1_loss(a, b)), np.abs(a - b).mean(), rtol=1e-6)
     m = ((a - b) ** 2).mean()
     np.testing.assert_allclose(float(losses.psnr(a, b)), 20 * np.log10(1 / np.sqrt(m)), rtol=1e-5)
+
+
+def test_lpips_optional_guard():
+    """LPIPS is an optional dependency: availability probe is truthful and
+    the entry point raises an actionable ImportError when it is missing."""
+    from seganygaussians_tpu.utils import lpips_metric
+
+    a = np.zeros((8, 8, 3), np.float32)
+    if lpips_metric.lpips_available():
+        v = lpips_metric.lpips(a, a)
+        assert v == pytest.approx(0.0, abs=1e-5)
+    else:
+        with pytest.raises(ImportError, match="lpips"):
+            lpips_metric.lpips(a, a)

@@ -260,3 +260,75 @@ def test_knn_approximation_downstream_bounds(rng):
     )
     assert np.median(cos) > 0.995
     assert np.mean(cos > 0.9) > 0.97  # ≥97% of smoothed features aligned
+
+
+def test_knn_query_source_semantics(rng):
+    """knn_query_source reproduces pytorch3d knn_points(query, source):
+    every query maps to its k nearest SOURCE points; a query that is also a
+    source finds itself at distance 0 (ADVICE r4 medium: multi-res smoothing
+    must query from original positions against the subsample only)."""
+    q = rng.normal(size=(300, 3)).astype(np.float32)
+    sel = rng.random(300) < 0.3
+    span = float(np.abs(q).max()) + 1.0
+    source = np.where(sel[:, None], q, q + 100.0 * span)
+    idx = np.asarray(knn.knn_query_source(jnp.asarray(q), jnp.asarray(source), k=4))
+    # brute force against the selected subset
+    d2 = np.sum((q[:, None, :] - source[None, :, :]) ** 2, axis=-1)
+    exact_idx = np.argsort(d2, axis=1)[:, :4]
+    got_d = np.take_along_axis(d2, idx, axis=1)
+    want_d = np.take_along_axis(d2, exact_idx, axis=1)
+    # all returned neighbours are genuine (selected) sources
+    assert sel[idx].all()
+    # selected queries include themselves (distance 0 neighbour)
+    self_rows = np.where(sel)[0]
+    assert np.isclose(got_d[self_rows].min(axis=1), 0.0).all()
+    # distances near-exact in the median (approximate KNN)
+    rel = (np.sqrt(got_d.mean(1)) - np.sqrt(want_d.mean(1))) / np.sqrt(
+        want_d.mean(1)
+    ).clip(1e-9)
+    assert np.median(rel) < 0.02
+
+
+def test_multi_res_maps_use_subsample_only(rng):
+    """build_multi_res_maps: dropped points must smooth over the SELECTED
+    subsample (from their original positions), not over other dropped points."""
+    from seganygaussians_tpu.models import feature_gaussians as fgm
+
+    xyz = rng.normal(size=(250, 3)).astype(np.float32)
+    st = fgm.from_scene_geometry(
+        xyz,
+        np.zeros((250, 3), np.float32),
+        np.tile(np.array([1, 0, 0, 0], np.float32), (250, 1)),
+        np.zeros((250, 1), np.float32),
+        feature_dim=8,
+    )
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    maps = fgm.build_multi_res_maps(st, keys, sample_rates=(0.2,), ks=(4,))
+    m = np.asarray(maps[0])
+    # recover the subsample the builder used
+    pm = np.asarray(
+        (jax.random.uniform(keys[0], (250,)) < 0.2) & np.asarray(st.geom.alive)
+    )
+    assert pm[m].all(), "neighbour map contains non-subsampled points"
+    # level-0 column of a selected point is itself (distance-0 source copy)
+    sel_rows = np.where(pm)[0]
+    assert (m[sel_rows] == sel_rows[:, None]).any(axis=1).mean() > 0.95
+
+
+def test_feature_from_point_cloud(rng):
+    """from_point_cloud (init_from_3dgs_pcd path, `scene/__init__.py:196-207`):
+    fresh geometry with 3-NN scales, zero features."""
+    from seganygaussians_tpu.models import feature_gaussians as fgm
+
+    pts = rng.normal(size=(200, 3)).astype(np.float32)
+    st = fgm.from_point_cloud(pts, feature_dim=16, capacity=256)
+    assert st.point_features.shape == (256, 16)
+    assert float(jnp.abs(st.point_features).max()) == 0.0
+    assert int(st.geom.alive.sum()) == 200
+    op = jax.nn.sigmoid(st.geom.opacity[:200])
+    np.testing.assert_allclose(np.asarray(op), 0.1, atol=1e-5)
+    # scales follow the local 3-NN distance scale
+    d3 = np.sqrt(brute_knn(pts, 3).mean(axis=1))
+    got = np.exp(np.asarray(st.geom.scaling[:200, 0]))
+    rel = np.abs(got - d3) / d3
+    assert np.median(rel) < 0.05

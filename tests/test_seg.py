@@ -253,3 +253,47 @@ def test_clip_encoder_raises_without_weights():
 
     with pytest.raises(RuntimeError, match="clip_features"):
         clip_text.ClipEncoder("definitely/not-a-local-model")
+
+
+def test_clip_encoder_injected_impl_to_scores():
+    """End-to-end encoder → get_scores with an injected deterministic
+    backend (the `_impl` seam): template averaging, normalisation, and the
+    pairwise-softmax scoring math run exactly as they would with real
+    OpenCLIP laion2b weights (`clip_utils/clip_utils.py:56-95,148-164`)."""
+    rng = np.random.default_rng(7)
+
+    class _DetImpl:
+        def encode_text(self, prompts):
+            # deterministic pseudo-embedding per prompt string
+            out = []
+            for p in prompts:
+                r = np.random.default_rng(abs(hash(p)) % (2**31))
+                out.append(r.normal(size=16))
+            return np.asarray(out, np.float32)
+
+        def encode_image(self, images):
+            return np.asarray(
+                [im.mean(axis=(0, 1)).repeat(6)[:16] for im in images],
+                np.float32,
+            )
+
+    enc = clip_text.ClipEncoder(_impl=_DetImpl())
+    assert enc.backend == "injected"
+    pos = enc.encode_text_with_template(["red chair", "green lamp"])
+    assert pos.shape == (2, 16)
+    np.testing.assert_allclose(np.linalg.norm(pos, axis=-1), 1.0, atol=1e-5)
+    neg = enc.encode_text(list(clip_text.CANONICAL_NEGATIVES))
+    sem = np.asarray(rng.normal(size=(30, 16)), np.float32)
+    sem /= np.linalg.norm(sem, axis=-1, keepdims=True)
+    scores = np.asarray(clip_text.get_scores(
+        jnp.asarray(sem), jnp.asarray(pos[:1]), jnp.asarray(neg)))
+    assert scores.shape == (30,)
+    assert np.isfinite(scores).all()
+    assert (scores >= 0).all() and (scores <= 1).all()
+    # determinism: a second encoder instance reproduces the same scores
+    enc2 = clip_text.ClipEncoder(_impl=_DetImpl())
+    pos2 = enc2.encode_text_with_template(["red chair", "green lamp"])
+    np.testing.assert_allclose(pos, pos2, atol=1e-6)
+    scores2 = np.asarray(clip_text.get_scores(
+        jnp.asarray(sem), jnp.asarray(pos2[:1]), jnp.asarray(neg)))
+    np.testing.assert_allclose(scores, scores2, atol=1e-6)
