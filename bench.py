@@ -138,6 +138,20 @@ def main():
     # --- 32-dim feature path (the contrastive hot loop: precomputed
     # "colors" = per-Gaussian features, `train_contrastive_feature.py:231` →
     # `diff-gaussian-rasterization_contrastive_f` with NUM_CHANNELS 32).
+    # 16x16 tiles: the 32-channel backward kernel at P=1024 (tile 32) blows
+    # up the Mosaic compile (observed: >30 min, never finished — same class
+    # as the K=256 failure, BASELINE.md); at P=256 it compiles and runs.
+    # This matches the contrastive trainer's default RasterConfig.
+    TS_F = 16
+    prep_f = jax.jit(
+        lambda xyz, sc, rot: preprocess(
+            xyz, cam, scales=sc, rotations=rot, active_mask=state.alive,
+            opacities=gm.get_opacity(state.params)[:, 0], tile_size=TS_F,
+        )
+    )(state.params.xyz, gm.get_scaling(state.params), gm.get_rotation(state.params))
+    cap_f = suggest_capacity(int(np.asarray(jnp.sum(prep_f.tiles_touched))),
+                             headroom=1.05)
+    cfg_f = RasterConfig(capacity=cap_f, backend="auto", tile_size=TS_F)
     feats = jnp.asarray(rng.normal(size=(n, 32)) * 0.1, jnp.float32)
 
     def fwd_bwd_feat(f32):
@@ -151,7 +165,7 @@ def main():
                 rotations=gm.get_rotation(p),
                 bg=jnp.zeros(32),
                 active_mask=state.alive,
-                config=cfg,
+                config=cfg_f,
             )
             return jnp.sum(out.color), out.overflow
 

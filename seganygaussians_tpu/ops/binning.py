@@ -129,6 +129,12 @@ def expand_slots(
     total = cum[-1]
     offsets = cum - tiles  # exclusive prefix (first element 0)
 
+    if prep.row_pack is not None:
+        return _expand_slots_rows(
+            prep, depth_perm, tiles, rect_min, rect_max, offsets, total,
+            grid_x, grid_y, capacity,
+        )
+
     w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
     packed_rect = rect_min[:, 0] | (rect_min[:, 1] << 10) | (w << 20)
 
@@ -173,6 +179,86 @@ def expand_slots(
     )
 
 
+def _expand_slots_rows(
+    prep, depth_perm, tiles, rect_min, rect_max, offsets, total,
+    grid_x: int, grid_y: int, capacity: int,
+):
+    """Two-level expansion over elliptical per-tile-row intervals.
+
+    With ``prep.row_pack`` present, ``tiles_touched`` counts exact per-row
+    interval widths (projection._row_intervals), so slots can no longer be
+    decoded from one rectangle: expansion goes Gaussian → tile-row instances
+    (level 1, the same delta-scatter trick at N scale) → slots (level 2, the
+    trick again at row-instance scale, R ≈ M/2.6).  Both levels are exact
+    integer scatter-add + cumsum reconstructions; no sorts, no random
+    gathers (the two table gathers are ascending in the owning rank).
+    """
+    n = tiles.shape[0]
+    num_tiles = grid_x * grid_y
+    g_idx = jnp.arange(n, dtype=jnp.int32)
+
+    row_pack = prep.row_pack[depth_perm]  # (N, G) — N-scale row gather
+    heights = jnp.where(tiles > 0, rect_max[:, 1] - rect_min[:, 1], 0)
+    hcum = jnp.cumsum(heights)
+    r_total = hcum[-1]
+    row_off = hcum - heights
+
+    # Level 1: Gaussian → row-instances (capacity reused as the row budget;
+    # R ≤ M_rect, and the overflow flag covers pathological tall footprints).
+    f1 = jnp.stack([g_idx, row_off, rect_min[:, 1]], axis=-1)  # (N, 3)
+    d1 = jnp.diff(f1, axis=0, prepend=jnp.zeros((1, 3), jnp.int32))
+    base1 = jnp.zeros((capacity, 3), jnp.int32).at[row_off].add(d1, mode="drop")
+    per_row = jnp.cumsum(base1, axis=0)  # (R_cap, 3)
+    g_r = jnp.clip(per_row[:, 0], 0, n - 1)
+    roff_r = per_row[:, 1]
+    ry0_r = per_row[:, 2]
+    rowslots = jnp.arange(capacity, dtype=jnp.int32)
+    in_rows = rowslots < r_total
+    ty_r = jnp.clip(ry0_r + (rowslots - roff_r), 0, grid_y - 1)
+
+    # Per-row interval + within-Gaussian width prefix: two ascending flat
+    # gathers from (N·G) tables.
+    wmat = (row_pack >> 10) & 1023  # (N, G)
+    wc = jnp.cumsum(wmat, axis=1)  # inclusive row-width prefix per Gaussian
+    flat_idx = g_r * grid_y + ty_r
+    rp_r = row_pack.reshape(-1)[flat_idx]
+    x0_r = rp_r & 1023
+    w_r = (rp_r >> 10) & 1023
+    excl_w = wc.reshape(-1)[flat_idx] - w_r  # widths of earlier rows of g
+    soff_r = offsets[g_r] + excl_w
+    # Rows past r_total: constant fields at a soff of `total` so their
+    # telescoped deltas land at/after the live slot range (or drop).
+    soff_r = jnp.where(in_rows, soff_r, total)
+    g_r = jnp.where(in_rows, g_r, 0)
+    pk_r = jnp.where(in_rows, x0_r | (ty_r << 10), 0)
+
+    # Level 2: row-instances → slots.
+    f2 = jnp.stack([g_r, soff_r, pk_r], axis=-1)  # (R_cap, 3)
+    d2 = jnp.diff(f2, axis=0, prepend=jnp.zeros((1, 3), jnp.int32))
+    base2 = jnp.zeros((capacity, 3), jnp.int32).at[soff_r].add(d2, mode="drop")
+    per_slot = jnp.cumsum(base2, axis=0)
+    rank2 = jnp.clip(per_slot[:, 0], 0, n - 1)
+    soff2 = per_slot[:, 1]
+    pk2 = per_slot[:, 2]
+    x0s = pk2 & 1023
+    tys = (pk2 >> 10) & 1023
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    tx = x0s + (slots - soff2)
+    tile = tys * grid_x + tx
+    in_range = slots < total
+    tile = jnp.clip(
+        jnp.where(in_range, tile, num_tiles), 0, num_tiles
+    ).astype(jnp.int32)
+
+    return SlotPlan(
+        slot_rank=rank2,
+        slot_tile=tile,
+        depth_perm=depth_perm,
+        num_instances=jnp.minimum(total, capacity),
+        overflow=(total > capacity) | (r_total > capacity),
+    )
+
+
 class InstancePlan(NamedTuple):
     """Sort-free binning: analytic (tile, depth) destinations.
 
@@ -211,6 +297,7 @@ def plan_instances(
     block: int = _RANK_BLOCK,
 ) -> InstancePlan:
     """Sort-free replacement for :func:`bin_gaussians` (see InstancePlan)."""
+    prep = strip_row_footprints(prep)  # analytic destinations decode rects
     assert grid_x < 1024 and grid_y < 1024, "packed bounds hold 10 bits"
     n = prep.tiles_touched.shape[0]
     num_tiles = grid_x * grid_y
@@ -327,6 +414,20 @@ def plan_instances(
         num_instances=jnp.minimum(total, capacity),
         overflow=total > capacity,
     )
+
+
+def strip_row_footprints(prep: Preprocessed) -> Preprocessed:
+    """Rect-consistent view of a ``Preprocessed`` carrying row intervals.
+
+    Consumers that decode slots from one bounding rectangle (the sort-free
+    ``plan_instances`` path, tile-slab clipping) must see ``tiles_touched``
+    that counts the full rect — drop the row data and recount."""
+    if prep.row_pack is None:
+        return prep
+    w = jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 0)
+    h = jnp.maximum(prep.rect_max[:, 1] - prep.rect_min[:, 1], 0)
+    touched = jnp.where(prep.valid, w * h, 0).astype(jnp.int32)
+    return prep._replace(row_pack=None, tiles_touched=touched)
 
 
 def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int, capacity: int) -> Binned:

@@ -55,12 +55,13 @@ CHUNK = 256  # instances per inner step (lane axis; multiple of 128)
 # Per-pass P·K budgets (P = tile_size² pixels, K = chunk lanes).  The
 # kernels hold several (P, K) f32 intermediates; at P=1024 (32x32 tiles) the
 # BACKWARD at K=256 blows up the Mosaic compile (observed: never finished),
-# while K=128 compiles and runs well.  The FORWARD is smaller (fewer live
-# (P, K) arrays) and compiles fine at twice the budget — and per-chunk
-# fixed cost (DMA waits, while_loop step, matmul issue) is a large share of
-# kernel time, so fewer/bigger chunks win.  Env overrides for experiments:
+# while K=128 compiles and runs well.  Bigger forward chunks were measured
+# SLOWER (K=256: 15.4 ms vs 11.2 ms at K=128, round-5 profile): the
+# triangular prefix-sum matmul costs M·P·K total FLOPs, so K is the knob —
+# small K cuts MXU work but pays more per-chunk fixed cost (DMA waits,
+# while_loop step, matmul issue).  Env overrides for experiments:
 # SAGA_FWD_PK / SAGA_BWD_PK / SAGA_MAX_CHUNK.
-_PK_BUDGET = {"fwd": 262144, "bwd": 131072}
+_PK_BUDGET = {"fwd": 131072, "bwd": 131072}
 
 
 def chunk_for(tile_size: int, kind: str = "bwd") -> int:
@@ -149,18 +150,35 @@ def _tri_excl(k: int):
     return (row < col).astype(jnp.float32)
 
 
-def _excl_cumsum_lanes(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
-    """Near-f32 EXCLUSIVE prefix sum along lanes via a 2-term bf16-split
-    triangular matmul.
+def _scan_mode() -> str:
+    import os
 
-    At default MXU precision f32 inputs are rounded to bf16 (measured
-    3.7e-3 image / 0.64 relative gradient error on-chip; interpret mode
-    never sees this); precision=HIGHEST on a (K, K) operand made the Mosaic
-    compile take minutes and ran no faster than this.  Splitting
-    x = hi + lo with hi = bf16(x) makes hi·tri EXACT (tri is 0/1) and
-    leaves only lo's bf16 rounding: |err| ≤ 2^-17·Σ|x| ≈ 4e-5 for the
-    saturating log-transmittance sums — below f32 accumulation noise.
-    Two default-precision passes ≈ the cost of one."""
+    return os.environ.get("SAGA_SCAN", "tri")
+
+
+def _excl_cumsum_lanes(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
+    """EXCLUSIVE prefix sum along the lane (instance) axis.
+
+    Two implementations, selected by SAGA_SCAN:
+
+    * ``tri`` (default): 2-term bf16-split strictly-triangular matmul.  At
+      default MXU precision f32 inputs are rounded to bf16 (measured 3.7e-3
+      image / 0.64 relative gradient error on-chip; interpret mode never
+      sees this); precision=HIGHEST on a (K, K) operand made the Mosaic
+      compile take minutes.  Splitting x = hi + lo with hi = bf16(x) makes
+      hi·tri EXACT (tri is 0/1) and leaves only lo's bf16 rounding:
+      |err| ≤ 2^-17·Σ|x| ≈ 4e-5 — below f32 accumulation noise.
+    * ``shift``: Hillis-Steele log₂K lane-shift adds — pure f32 VPU, exact,
+      O(P·K·logK) vs the matmul's O(P·K²) MXU FLOPs.
+    """
+    if _scan_mode() == "shift":
+        p, k = x.shape
+        acc = x
+        d = 1
+        while d < k:
+            acc = acc + jnp.pad(acc, ((0, 0), (d, 0)))[:, :k]
+            d *= 2
+        return acc - x
     hi = x.astype(jnp.bfloat16).astype(jnp.float32)
     lo = x - hi
     dn = (((1,), (0,)), ((), ()))
@@ -700,38 +718,29 @@ def _blend_fwd(
 
 
 def segment_reduce_by_rank(dinst, key_ranks, rows, n, total):
-    """Deterministic instance→Gaussian gradient reduction WITHOUT scatter-add.
+    """Deterministic instance→Gaussian gradient reduction.
 
-    XLA scatter (segment_sum) serializes on TPU.  A stable sort of the
-    tile-sorted instances by Gaussian rank recovers *slot order*, in which
-    each Gaussian's instances are contiguous, so per-Gaussian sums are an
-    exclusive-cumsum difference at segment boundaries (measured: sort+cumsum
-    is ~3x faster than scatter-based reductions at M ~ 4M).  The cumsum is
-    transposed to (M+1, F') before boundary extraction so it is a *row*
-    gather — a lane-axis gather at N scale is slow on TPU.
+    One (F', M) → (M, F') transpose followed by a single row scatter-add
+    keyed on the Gaussian rank.  XLA scatter applies updates in a fixed
+    order on TPU, so the reduction is deterministic; with the tile-major
+    piecewise-ascending rank keys it measured 13.1 ms vs 23.1 ms for the
+    round-3/4 stable-sort + segment-cumsum epilogue at M = 687k, F' = 9
+    (tools/bench_epilogue.py on TPU v5e — the sort's payload traffic, not
+    the keying, was the cost).
 
     Args: ``dinst`` (F, M) per-instance grads; ``key_ranks`` (M,) Gaussian
     rank per instance; ``rows`` the field-row indices to reduce; ``total``
-    the live instance count (instances ≥ total sort to the padding segment).
+    the live instance count (instances ≥ total are dropped).
     Returns (N, len(rows)).
     """
     m = key_ranks.shape[0]
     key = jnp.where(
         jnp.arange(m, dtype=jnp.int32) < total, key_ranks, jnp.int32(n)
     )
-    sorted_ = lax.sort(
-        (key,) + tuple(dinst[r] for r in rows), num_keys=1, is_stable=True
+    sel = jnp.stack([dinst[r] for r in rows], axis=0)  # (F', M)
+    return (
+        jnp.zeros((n, len(rows)), jnp.float32).at[key].add(sel.T, mode="drop")
     )
-    skey = sorted_[0]
-    bound = jnp.searchsorted(skey, jnp.arange(n + 1, dtype=jnp.int32)).astype(
-        jnp.int32
-    )
-    stacked = jnp.stack(sorted_[1:], axis=0)  # (F', M)
-    csum = jnp.concatenate(
-        [jnp.zeros((len(rows), 1), jnp.float32), jnp.cumsum(stacked, axis=1)],
-        axis=1,
-    ).T  # (M+1, F')
-    return csum[bound[1:]] - csum[bound[:-1]]  # (N, F')
 
 
 def _blend_bwd(grid_x, grid_y, tile_size, res, g):

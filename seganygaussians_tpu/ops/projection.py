@@ -37,6 +37,14 @@ class Preprocessed(NamedTuple):
     rect_max: jnp.ndarray  # (N, 2) int32 tile rect exclusive-max
     tiles_touched: jnp.ndarray  # (N,) int32
     valid: jnp.ndarray  # (N,) bool
+    # Optional elliptical per-tile-row footprints: (N, grid_y) int32 packing
+    # x0_tile | width<<10 per row (width 0 outside the footprint).  When
+    # present, ``tiles_touched`` is the exact per-row sum and
+    # ``binning.expand_slots`` emits one instance per (tile-row, x) cell of
+    # the row interval instead of the full bounding rect — the rect's
+    # corners never contribute (α < 1/255 there by construction), so output
+    # and gradients are bit-identical with ~25-35% fewer instances.
+    row_pack: Optional[jnp.ndarray] = None
 
 
 def project_points(
@@ -118,6 +126,80 @@ def ndc2pix(v: jnp.ndarray, size: int) -> jnp.ndarray:
     return ((v + 1.0) * size - 1.0) * 0.5
 
 
+def _row_intervals(
+    mx, my, conics, tau, rx0, rx1, ry0, ry1, grid_y: int, tile_size: int
+):
+    """Per-tile-row x-intervals of the α ≥ 1/255 ellipse, (N, grid_y).
+
+    The contributing set {q(dx, dy) ≤ 2τ} with q = a·dx² + 2b·dx·dy + c·dy²
+    (conic = (a, b, c), τ = ln(255·opa)) meets the pixel-row band
+    dy ∈ [dyl, dyh] in an x-interval.  Its upper boundary
+    x₊(dy) = (−b·dy + √D)/a with D = 2aτ − det·dy² is concave on the
+    ellipse's dy-range, so the interval max is x₊ at the clipped critical
+    point dy* = −sign(b)·|b|·√(2τ/(c·det)); the lower boundary follows from
+    the symmetry x₋(dy) = −x₊(−dy).  A ±1 px margin absorbs fp error (same
+    margin as the AABB path).  Rows outside the rect, or degenerate conics,
+    get width 0 / the full rect width respectively.
+
+    Returns (row_pack int32 (N, grid_y): x0_tile | width<<10, exact
+    tiles_touched (N,) int32).
+    """
+    ts = tile_size
+    a = conics[..., 0:1]
+    b = conics[..., 1:2]
+    c = conics[..., 2:3]
+    det = a * c - b * b
+    ok = (det > 0.0) & (a > 0.0) & (c > 0.0)
+    det_s = jnp.where(ok, det, 1.0)
+    a_s = jnp.where(ok, a, 1.0)
+    c_s = jnp.where(ok, c, 1.0)
+    tau = jnp.maximum(tau[..., None], 0.0)  # (N, 1)
+
+    ty = jnp.arange(grid_y, dtype=jnp.float32)[None, :]  # (1, G)
+    dyl = ty * ts - my[..., None]  # (N, G) first pixel-center offset
+    dyh = dyl + (ts - 1)  # last pixel-center offset
+
+    dmax = jnp.sqrt(jnp.maximum(2.0 * a_s * tau / det_s, 0.0))  # (N, 1)
+    dy_star = -jnp.sign(b) * jnp.abs(b) * jnp.sqrt(
+        jnp.maximum(2.0 * tau / (c_s * det_s), 0.0)
+    )  # (N, 1) argmax of x₊
+
+    def xmax_over(lo_in, hi_in):
+        lo = jnp.maximum(lo_in, -dmax)
+        hi = jnp.minimum(hi_in, dmax)
+        nonempty = lo <= hi
+        dyc = jnp.clip(dy_star, lo, hi)
+        d_val = jnp.maximum(2.0 * a_s * tau - det_s * dyc * dyc, 0.0)
+        x = (-b * dyc + jnp.sqrt(d_val)) / a_s
+        return x, nonempty
+
+    x_hi, ne1 = xmax_over(dyl, dyh)
+    x_lo_neg, _ = xmax_over(-dyh, -dyl)
+    x_lo = -x_lo_neg
+
+    ty_i = jnp.arange(grid_y, dtype=jnp.int32)[None, :]
+    in_rows = (ty_i >= ry0[..., None]) & (ty_i < ry1[..., None])
+    live = in_rows & ne1 & ok
+
+    px_min = mx[..., None] + x_lo - 1.0
+    px_max = mx[..., None] + x_hi + 1.0
+    tx0 = jnp.floor(px_min / ts).astype(jnp.int32)
+    tx1 = jnp.floor((px_max + ts - 1) / ts).astype(jnp.int32)
+    tx0 = jnp.clip(tx0, rx0[..., None], rx1[..., None])
+    tx1 = jnp.clip(tx1, rx0[..., None], rx1[..., None])
+    # Degenerate conic (shouldn't pass det_valid, but stay conservative):
+    # full rect width for its rows.
+    tx0 = jnp.where(ok, tx0, rx0[..., None])
+    w = jnp.where(live, jnp.maximum(tx1 - tx0, 0), 0)
+    w = jnp.where(
+        in_rows & jnp.logical_not(ok),
+        jnp.maximum(rx1[..., None] - rx0[..., None], 0),
+        w,
+    )
+    row_pack = tx0 | (w << 10)
+    return row_pack, jnp.sum(w, axis=-1).astype(jnp.int32)
+
+
 def preprocess(
     means3d: jnp.ndarray,
     camera: CameraParams,
@@ -128,6 +210,7 @@ def preprocess(
     tile_size: int = 16,
     active_mask: Optional[jnp.ndarray] = None,
     opacities: Optional[jnp.ndarray] = None,
+    row_footprints: bool = False,
 ) -> Preprocessed:
     """Vectorized projection + culling + tile-rect stage.
 
@@ -224,6 +307,25 @@ def preprocess(
         visible = visible & active_mask
     valid = visible & (num_tiles > 0) & opa_visible
     radii = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
+
+    # Elliptical per-row footprints are OPT-IN: they cut instances another
+    # ~11-16% beyond the per-axis AABB, but the two-level expansion they
+    # need costs ~46 ms vs 5.4 ms at M=614k on TPU v5e (row-scale scatter +
+    # flat gathers — measured round 5), a net loss at bench shapes.  Worth
+    # enabling only for scenes with strongly anisotropic footprints.
+    row_pack = None
+    if opacities is not None and row_footprints:
+        tau = jnp.log(jnp.maximum(opa, 1e-12) * 255.0)
+        # Structural (non-differentiable) like radii/rects: stop_gradient
+        # keeps sqrt-at-zero out of the backward graph entirely.
+        row_pack, row_tiles = _row_intervals(
+            jax.lax.stop_gradient(mx), jax.lax.stop_gradient(my),
+            jax.lax.stop_gradient(conics), tau,
+            rx0, rx1, ry0, ry1, grid_y, tile_size
+        )
+        num_tiles = row_tiles
+        valid = valid & (num_tiles > 0)
+        row_pack = jnp.where(valid[:, None], row_pack, 0)
     tiles_touched = jnp.where(valid, num_tiles, 0).astype(jnp.int32)
 
     return Preprocessed(
@@ -235,4 +337,5 @@ def preprocess(
         rect_max=jnp.stack([rx1, ry1], axis=-1),
         tiles_touched=tiles_touched,
         valid=valid,
+        row_pack=row_pack,
     )

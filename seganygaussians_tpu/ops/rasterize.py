@@ -40,6 +40,10 @@ class RasterConfig:
     capacity: int = 1 << 18  # static instance budget (tile-overlap count)
     backend: str = "auto"  # "xla" | "pallas" | "auto" (pallas on TPU)
     scale_modifier: float = 1.0
+    # Elliptical per-tile-row footprints: fewer instances (exact output) but
+    # a costlier two-level expansion — measured net-negative at bench shapes
+    # on TPU v5e (ops/projection.py note); opt-in for anisotropic scenes.
+    row_footprints: bool = False
 
 
 class RasterOutput(NamedTuple):
@@ -95,6 +99,7 @@ def rasterize(
         tile_size=config.tile_size,
         active_mask=active_mask,
         opacities=opacities,  # exact α ≥ 1/255 footprint culling
+        row_footprints=config.row_footprints,
     )
 
     means2d = prep.means2d

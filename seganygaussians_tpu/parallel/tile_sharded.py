@@ -45,11 +45,14 @@ def clip_to_tile_rows(prep: Preprocessed, row_lo, row_hi) -> Preprocessed:
     touched = jnp.where(prep.valid, w * h, 0)
     rect_min = jnp.stack([prep.rect_min[:, 0], jnp.maximum(y0, 0)], axis=-1)
     rect_max = jnp.stack([prep.rect_max[:, 0], jnp.maximum(y1, 0)], axis=-1)
+    # row_pack is indexed by absolute tile row — stale after the slab shift;
+    # the recounted tiles_touched is rect-based, so drop the row data.
     return prep._replace(
         rect_min=rect_min,
         rect_max=rect_max,
         tiles_touched=touched,
         valid=prep.valid & (h > 0),
+        row_pack=None,
     )
 
 

@@ -45,10 +45,12 @@ def main():
         for line in f:
             r = json.loads(line)
             (feat_rows if any(k.startswith("contrastive/") for k in r) else scene_rows).append(r)
-    evals = [r for r in scene_rows if "eval/psnr" in r]
+    evals = [r for r in scene_rows if "eval/psnr" in r or "test/psnr" in r]
     if evals:
         ev["scene_eval"] = [
-            {"iter": r["iter"], "psnr": r["eval/psnr"], "l1": r.get("eval/l1")}
+            {"iter": r["iter"],
+             "psnr": r.get("eval/psnr", r.get("test/psnr")),
+             "l1": r.get("eval/l1", r.get("test/l1"))}
             for r in evals
         ]
 
@@ -73,11 +75,15 @@ def main():
     try:
         from PIL import Image
 
+        # Committed evidence lives under evidence/, not the gitignored
+        # output/ run directory.
+        evdir = os.path.join(os.path.dirname(__file__), "..", "evidence")
+        os.makedirs(evdir, exist_ok=True)
         Image.fromarray((img * 255).astype(np.uint8)).save(
-            os.path.join(args.model, "evidence_render.png")
+            os.path.join(evdir, "synth_render.png")
         )
         Image.fromarray((np.clip(gt, 0, 1) * 255).astype(np.uint8)).save(
-            os.path.join(args.model, "evidence_gt.png")
+            os.path.join(evdir, "synth_gt.png")
         )
     except Exception:
         pass
