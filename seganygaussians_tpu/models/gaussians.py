@@ -288,7 +288,9 @@ def densify_and_prune(
     for i in range(2):
         key, sub = jax.random.split(key)
         samples = jax.random.normal(sub, state.params.xyz.shape) * scaling
-        new_xyz = jnp.einsum("nij,nj->ni", rots, samples) + state.params.xyz
+        new_xyz = jnp.einsum(
+            "nij,nj->ni", rots, samples, precision="highest"
+        ) + state.params.xyz
         rows = state.params._replace(xyz=new_xyz, scaling=new_scaling)
         params, opt, alive = _scatter_clones(
             params, opt, alive, split_sel, rows, i, 2

@@ -44,11 +44,19 @@ def _depthwise_blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     kh = jnp.tile(window.reshape(1, 1, k, 1), (c, 1, 1, 1))
     kw = jnp.tile(window.reshape(1, 1, 1, k), (c, 1, 1, 1))
     dn = lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
+    # precision=HIGHEST is load-bearing on TPU: at default precision the MXU
+    # rounds conv inputs to bf16, and SSIM's variance terms
+    # blur(img²) − mu² cancel catastrophically — the bf16 rounding noise
+    # (~4e-3 relative) exceeds the variance signal, corrupting the SSIM
+    # value AND its gradient.  Measured: scene training on real TPU
+    # plateaued at loss ≈ 0.16 (CPU: 0.03) until this fix.
     x = lax.conv_general_dilated(
-        x, kh, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=c
+        x, kh, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=c,
+        precision=lax.Precision.HIGHEST,
     )
     x = lax.conv_general_dilated(
-        x, kw, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=c
+        x, kw, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=c,
+        precision=lax.Precision.HIGHEST,
     )
     return x.transpose(0, 2, 3, 1)[0]
 

@@ -48,8 +48,12 @@ def masked_point_scales(points: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
     m = masks.reshape(k, -1).astype(jnp.float32)  # (K, P)
     p = points.reshape(-1, 3)  # (P, 3)
     n = jnp.sum(m, axis=1, keepdims=True)  # (K, 1)
-    mean = (m @ p) / jnp.maximum(n, 1.0)  # (K, 3)
-    ex2 = (m @ (p * p)) / jnp.maximum(n, 1.0)
+    # precision=HIGHEST: var = E[x²] − mean² cancels catastrophically if the
+    # MXU rounds the moment matmuls to bf16 (same failure as the SSIM
+    # variance, ops/losses.py) — these become the mask_scales sidecars.
+    hi = jax.lax.Precision.HIGHEST
+    mean = jnp.matmul(m, p, precision=hi) / jnp.maximum(n, 1.0)  # (K, 3)
+    ex2 = jnp.matmul(m, p * p, precision=hi) / jnp.maximum(n, 1.0)
     var = (ex2 - mean * mean) * (n / jnp.maximum(n - 1.0, 1.0))
     std = jnp.sqrt(jnp.maximum(var, 0.0))
     return jnp.linalg.norm(2.0 * std, axis=-1)
