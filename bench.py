@@ -8,6 +8,8 @@ A100 fwd+bwd stand-in so vs_baseline tracks the ≥3×-A100 north star.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -16,7 +18,7 @@ import numpy as np
 A100_FWD_BWD_MPIX_S = 130.0
 
 
-def main():
+def main(feature32_child: bool = False):
     # keep stdout to exactly one JSON line: route jax's platform warnings
     # (the axon-plugin banner logs to a stdout handler) through stderr
     import logging
@@ -126,14 +128,15 @@ def main():
             blocks.append((time.perf_counter() - t0) / iters)
         return float(np.median(blocks)), blocks
 
-    step = jax.jit(fwd_bwd)
-    val, overflow, g = step(p)  # compile + warmup
-    float(jnp.sum(g))
-    assert not bool(overflow), "instance capacity overflow — raise cap"
-    dt, blocks = time_step(step, p)
-    print(f"# RGB block times (s): {[round(b, 4) for b in blocks]}",
-          file=sys.stderr, flush=True)
-    mpix_s = (W * H / dt) / 1e6
+    if not feature32_child:
+        step = jax.jit(fwd_bwd)
+        val, overflow, g = step(p)  # compile + warmup
+        float(jnp.sum(g))
+        assert not bool(overflow), "instance capacity overflow — raise cap"
+        dt, blocks = time_step(step, p)
+        print(f"# RGB block times (s): {[round(b, 4) for b in blocks]}",
+              file=sys.stderr, flush=True)
+        mpix_s = (W * H / dt) / 1e6
 
     # --- 32-dim feature path (the contrastive hot loop: precomputed
     # "colors" = per-Gaussian features, `train_contrastive_feature.py:231` →
@@ -172,27 +175,43 @@ def main():
         (val, overflow), grads = jax.value_and_grad(loss, has_aux=True)(f32)
         return val, overflow, grads
 
-    step_f = jax.jit(fwd_bwd_feat)
-    _, overflow_f, gf = step_f(feats)
-    float(jnp.sum(gf))
-    assert not bool(overflow_f)
-    dt_f, blocks_f = time_step(step_f, feats)
-    print(f"# C=32 block times (s): {[round(b, 4) for b in blocks_f]}",
-          file=sys.stderr, flush=True)
-    feat_mpix_s = (W * H / dt_f) / 1e6
+    if feature32_child:
+        step_f = jax.jit(fwd_bwd_feat)
+        _, overflow_f, gf = step_f(feats)
+        float(jnp.sum(gf))
+        assert not bool(overflow_f)
+        dt_f, blocks_f = time_step(step_f, feats)
+        print(f"# C=32 block times (s): {[round(b, 4) for b in blocks_f]}",
+              file=sys.stderr, flush=True)
+        print(json.dumps({"feature32_dt": dt_f}))
+        return
 
-    print(
-        json.dumps(
-            {
-                "metric": "raster_fwd_bwd_mpix_per_s",
-                "value": round(mpix_s, 2),
-                "unit": "Mpix/s/chip",
-                "vs_baseline": round(mpix_s / A100_FWD_BWD_MPIX_S, 3),
-                "feature32_mpix_per_s": round(feat_mpix_s, 2),
-            }
+    # The C=32 measurement runs in a time-bounded child: a cold Pallas
+    # compile of the 32-channel kernels can take ~10 min (cached after), and
+    # the primary RGB metric must be emitted even if the child exceeds the
+    # budget (SAGA_FEATURE32_TIMEOUT seconds, default 900).
+    record = {
+        "metric": "raster_fwd_bwd_mpix_per_s",
+        "value": round(mpix_s, 2),
+        "unit": "Mpix/s/chip",
+        "vs_baseline": round(mpix_s / A100_FWD_BWD_MPIX_S, 3),
+    }
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--feature32"],
+            capture_output=True, text=True,
+            timeout=float(os.environ.get("SAGA_FEATURE32_TIMEOUT", 900)),
         )
-    )
+        for line in r.stdout.splitlines():
+            if line.startswith("{"):
+                dt_f = json.loads(line)["feature32_dt"]
+                record["feature32_mpix_per_s"] = round((W * H / dt_f) / 1e6, 2)
+        print(r.stderr[-500:], file=sys.stderr)
+    except (subprocess.TimeoutExpired, Exception) as e:  # noqa: BLE001
+        print(f"# feature32 child failed/timed out: {e!r}",
+              file=sys.stderr, flush=True)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
-    main()
+    main(feature32_child="--feature32" in sys.argv)

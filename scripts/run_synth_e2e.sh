@@ -28,5 +28,11 @@ python -m seganygaussians_tpu.cli.train_scene -s "$SRC" -m "$OUT" \
   --densify_grad_threshold 0.001 \
   --save_iterations "$ITERS" --disable_viewer
 python -m seganygaussians_tpu.cli.get_scale --source_path "$SRC" --model_path "$OUT"
+# XLA backend for the contrastive stage: the fused C=32 Pallas step's
+# on-TPU compile exceeds any practical budget at feature resolution (>50
+# min observed; the isolated kernels compile in ~8 min but the fused
+# train-step program does not converge) while the XLA blend at the small
+# feature resolution (~100x75) compiles in seconds and runs fast.
 python -m seganygaussians_tpu.cli.train_contrastive_feature \
-  --model_path "$OUT" --iterations 1500 --num_sampled_rays 512
+  --model_path "$OUT" --iterations 1500 --num_sampled_rays 512 \
+  --backend xla --raster_capacity 32768
